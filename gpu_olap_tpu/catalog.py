@@ -1,0 +1,118 @@
+"""Table catalog.
+
+TPU-native analogue of ``gpu-olap-core/src/catalog.rs``: a table registry that
+records schema/location/row-count on load (``catalog.rs:32-73``) and eagerly
+caches tables below a row threshold in memory (``catalog.rs:50``, 10M rows).
+In-memory registration (pandas / Arrow / dict-of-arrays) is first-class since the
+reference's documented ``query_pandas`` path depends on it
+(``examples/python_usage.py:96``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Dict, Iterator, List, Optional
+
+from .interop import arrow as arrow_io
+from .interop.columnar import ColumnBatch, Schema
+from .utils.tracing import get_logger
+
+logger = get_logger(__name__)
+
+
+class CatalogError(KeyError):
+    pass
+
+
+@dataclasses.dataclass
+class TableMetadata:
+    schema: Schema
+    location: Optional[str]       # parquet path, or None for in-memory
+    row_count: int
+    data_cache: Optional[ColumnBatch]  # eagerly cached host batch
+
+
+class Catalog:
+    def __init__(self, cache_threshold_rows: int = 10_000_000):
+        self._tables: Dict[str, TableMetadata] = {}
+        self._lock = threading.Lock()
+        self._cache_threshold = cache_threshold_rows
+
+    # -- registration ------------------------------------------------------
+    def load_table(self, name: str, path: str) -> None:
+        """Register a Parquet table (``catalog.rs:32-73``)."""
+        schema, row_count = arrow_io.read_parquet_schema(path)
+        cache = None
+        if row_count < self._cache_threshold:
+            cache = arrow_io.read_parquet(path)
+        with self._lock:
+            self._tables[name] = TableMetadata(schema, path, row_count, cache)
+        logger.info("loaded table %r from %s (%d rows, cached=%s)",
+                    name, path, row_count, cache is not None)
+
+    def register_batch(self, name: str, batch: ColumnBatch) -> None:
+        with self._lock:
+            self._tables[name] = TableMetadata(batch.schema, None, batch.num_rows, batch)
+
+    def register_pandas(self, name: str, df) -> None:
+        self.register_batch(name, arrow_io.batch_from_pandas(df))
+
+    def register_arrow(self, name: str, table) -> None:
+        self.register_batch(name, arrow_io.batch_from_arrow(table))
+
+    # -- accessors (catalog.rs:76-116) ------------------------------------
+    def _meta(self, name: str) -> TableMetadata:
+        try:
+            return self._tables[name]
+        except KeyError:
+            raise CatalogError(f"Unknown table {name!r}; loaded: {self.list_tables()}")
+
+    def get_schema(self, name: str) -> Schema:
+        return self._meta(name).schema
+
+    def get_table_data(self, name: str) -> ColumnBatch:
+        meta = self._meta(name)
+        if meta.data_cache is not None:
+            return meta.data_cache
+        assert meta.location is not None
+        return arrow_io.read_parquet(meta.location)
+
+    def iter_table_chunks(self, name: str, batch_size: int,
+                          columns: Optional[List[str]] = None) -> Iterator[ColumnBatch]:
+        """Streamed chunked scan for out-of-core execution."""
+        meta = self._meta(name)
+        if meta.location is not None and meta.data_cache is None:
+            yield from arrow_io.iter_parquet_chunks(meta.location, batch_size, columns)
+            return
+        batch = meta.data_cache
+        if columns is not None:
+            batch = batch.select([batch.schema.index_of(c) for c in columns])
+        for start in range(0, max(batch.num_rows, 1), batch_size):
+            stop = min(start + batch_size, batch.num_rows)
+            if start >= batch.num_rows and start > 0:
+                break
+            from .interop.columnar import Column
+            cols = []
+            for c in batch.columns:
+                v = None if c.validity is None else c.validity[start:stop]
+                cols.append(Column(c.data[start:stop], v, c.dictionary))
+            yield ColumnBatch(batch.schema, cols, stop - start)
+            if stop >= batch.num_rows:
+                break
+
+    def get_table_location(self, name: str) -> Optional[str]:
+        return self._meta(name).location
+
+    def get_row_count(self, name: str) -> int:
+        return self._meta(name).row_count
+
+    def is_cached(self, name: str) -> bool:
+        return self._meta(name).data_cache is not None
+
+    def list_tables(self) -> List[str]:
+        return sorted(self._tables)
+
+    def drop_table(self, name: str) -> None:
+        with self._lock:
+            self._tables.pop(name, None)

@@ -1,0 +1,148 @@
+"""Engine entry point.
+
+TPU-native analogue of ``OlapEngine`` (``gpu-olap-core/src/lib.rs:45-79``): owns
+the catalog + config and drives parse -> optimize -> physical plan -> execute.
+The Python-facing class also provides the documented binding API
+(``GpuOlapEngine`` ctor kwargs, ``query_pandas``, ``query_polars`` —
+``examples/python_usage.py:20-38,96,164`` / README.md:260-312), which the
+reference documents but never implemented.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .catalog import Catalog
+from .config import EngineConfig
+from .executor.result import QueryResult
+from .plan.optimizer import optimize
+from .plan.physical import create_physical_plan
+from .sql.parser import parse_sql
+from .utils.metrics import GLOBAL_METRICS, Timer
+from .utils.tracing import get_logger
+
+logger = get_logger(__name__)
+
+
+class OlapEngine:
+    def __init__(self, config: Optional[EngineConfig] = None):
+        self.config = config or EngineConfig()
+        self.catalog = Catalog(self.config.table_cache_threshold_rows)
+        self.metrics = GLOBAL_METRICS
+        self._device_executor = None
+
+    # -- table management (lib.rs:71-78) -----------------------------------
+    def load_table(self, name: str, path: str) -> None:
+        self.catalog.load_table(name, path)
+
+    def register(self, name: str, data) -> None:
+        """Register in-memory data: pandas DataFrame, Arrow Table, dict of arrays."""
+        import numpy as np
+
+        from .interop.columnar import ColumnBatch
+
+        if isinstance(data, ColumnBatch):
+            self.catalog.register_batch(name, data)
+        elif isinstance(data, dict):
+            self.catalog.register_batch(name, ColumnBatch.from_dict(data))
+        elif type(data).__module__.startswith("pandas"):
+            self.catalog.register_pandas(name, data)
+        elif type(data).__module__.startswith("pyarrow"):
+            self.catalog.register_arrow(name, data)
+        else:
+            raise TypeError(f"Cannot register {type(data)}")
+
+    def get_table_schema(self, name: str):
+        return self.catalog.get_schema(name)
+
+    def drop_table(self, name: str) -> None:
+        self.catalog.drop_table(name)
+
+    # -- planning ----------------------------------------------------------
+    def plan_query(self, sql: str):
+        """SQL -> optimized physical plan (lib.rs:52-60 pipeline, minus execute)."""
+        logical = parse_sql(sql)
+        optimized = optimize(logical)
+        return create_physical_plan(optimized, self.catalog, self.config)
+
+    def explain(self, sql: str) -> str:
+        logical = parse_sql(sql)
+        optimized = optimize(logical)
+        physical = create_physical_plan(optimized, self.catalog, self.config)
+        return (
+            "== Logical ==\n" + str(logical)
+            + "\n== Optimized ==\n" + str(optimized)
+            + "\n== Physical ==\n" + str(physical)
+        )
+
+    # -- execution (lib.rs:52-68) ------------------------------------------
+    def execute_query(self, sql: str) -> QueryResult:
+        with Timer() as t_plan:
+            physical = self.plan_query(sql)
+        backend = self._resolve_backend()
+        with Timer() as t_exec:
+            if backend == "cpu":
+                from .executor.cpu import CpuExecutor
+
+                batch = CpuExecutor(self.catalog, self.config).execute(physical)
+            else:
+                batch = self._get_device_executor().execute(physical)
+        logger.info("query executed: plan %.2f ms, exec %.2f ms, %d rows",
+                    t_plan.seconds * 1e3, t_exec.seconds * 1e3, batch.num_rows)
+        return QueryResult(batch, {
+            "plan_seconds": t_plan.seconds,
+            "exec_seconds": t_exec.seconds,
+            "backend": backend,
+        })
+
+    # alias matching the documented Python API
+    def query(self, sql: str) -> QueryResult:
+        return self.execute_query(sql)
+
+    def query_pandas(self, df, sql: str) -> QueryResult:
+        """Query a pandas DataFrame registered as table ``df``
+        (``examples/python_usage.py:96``)."""
+        self.catalog.register_pandas("df", df)
+        try:
+            return self.execute_query(sql)
+        finally:
+            self.catalog.drop_table("df")
+
+    def query_polars(self, df, sql: str) -> QueryResult:
+        """Polars integration via Arrow (``examples/python_usage.py:164``)."""
+        self.catalog.register_arrow("df", df.to_arrow())
+        try:
+            return self.execute_query(sql)
+        finally:
+            self.catalog.drop_table("df")
+
+    # -- internals ---------------------------------------------------------
+    def _resolve_backend(self) -> str:
+        if self.config.backend != "auto":
+            return self.config.backend
+        try:
+            import jax  # noqa: F401
+
+            return "device"
+        except Exception:
+            return "cpu"
+
+    def _get_device_executor(self):
+        if self._device_executor is None:
+            from .executor.device import DeviceExecutor
+
+            self._device_executor = DeviceExecutor(self.catalog, self.config)
+        return self._device_executor
+
+
+class TpuOlapEngine(OlapEngine):
+    """Binding-style constructor accepting the reference's kwargs
+    (``gpu_olap_py.GpuOlapEngine(max_gpu_memory=..., num_streams=...,
+    use_unified_memory=...)``, README.md:260-270)."""
+
+    def __init__(self, **kwargs):
+        super().__init__(EngineConfig.from_kwargs(**kwargs))
+
+
+# Drop-in alias for code written against the documented reference binding.
+GpuOlapEngine = TpuOlapEngine

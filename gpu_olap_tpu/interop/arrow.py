@@ -1,0 +1,149 @@
+"""Arrow / pandas interchange.
+
+TPU-native analogue of ``arrow-interop/src/record_batch_convert.rs``: every Arrow
+numeric type is widened to int64/float64 (``:35-100``), timestamps/dates become
+int64 (``column_buffer.rs:24-47``), and strings are dictionary-encoded (we keep a
+real dictionary instead of the reference's lossy FNV-1a hash at ``:93-97,123-130``).
+Nulls are carried as separate validity masks (``:36-40``) and restored on the way
+out (``gpu_buffers_to_record_batch``, ``:140-178``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+from .columnar import Column, ColumnBatch, DType, Field, Schema, dict_encode_strings
+
+_ARROW_INT_TYPES = (
+    pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+    pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+)
+
+
+def dtype_from_arrow(at: pa.DataType) -> DType:
+    """Arrow type -> engine logical dtype (mapping of ``column_buffer.rs:24-47``)."""
+    if at in _ARROW_INT_TYPES or pa.types.is_boolean(at) is False and pa.types.is_integer(at):
+        return DType.INT64
+    if pa.types.is_floating(at):
+        return DType.FLOAT64
+    if pa.types.is_boolean(at):
+        return DType.BOOL
+    if pa.types.is_timestamp(at):
+        return DType.TIMESTAMP_MS
+    if pa.types.is_date(at):
+        return DType.DATE32
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return DType.STRING
+    if pa.types.is_dictionary(at):
+        return dtype_from_arrow(at.value_type)
+    raise TypeError(f"Arrow type {at} is not supported on device "
+                    "(matches reference is_gpu_compatible, schema_utils.rs:29-33)")
+
+
+def schema_from_arrow(aschema: pa.Schema) -> Schema:
+    return Schema([Field(f.name, dtype_from_arrow(f.type), f.nullable) for f in aschema])
+
+
+def _validity_from_chunked(arr: pa.ChunkedArray) -> Optional[np.ndarray]:
+    if arr.null_count == 0:
+        return None
+    return ~np.asarray(arr.is_null())
+
+
+def column_from_arrow(arr: pa.ChunkedArray, dtype: DType) -> Column:
+    validity = _validity_from_chunked(arr)
+    if dtype is DType.STRING:
+        if pa.types.is_dictionary(arr.type):
+            arr = arr.cast(arr.type.value_type)
+        host = arr.to_numpy(zero_copy_only=False)
+        codes, dictionary, v2 = dict_encode_strings(host)
+        if validity is None:
+            validity = v2
+        return Column(codes, validity, dictionary)
+    if dtype is DType.TIMESTAMP_MS:
+        arr = arr.cast(pa.timestamp("ms"))
+        data = arr.to_numpy(zero_copy_only=False).astype("datetime64[ms]").astype(np.int64)
+    elif dtype is DType.DATE32:
+        data = arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+    elif dtype is DType.BOOL:
+        data = arr.to_numpy(zero_copy_only=False)
+        if data.dtype == object:
+            data = np.array([bool(x) if x is not None else False for x in data])
+        data = data.astype(np.bool_)
+    else:
+        np_target = dtype.numpy_dtype
+        data = arr.to_numpy(zero_copy_only=False)
+        if validity is not None and data.dtype.kind == "f" and dtype is DType.INT64:
+            # ints with nulls come back as float; sentinel-fill then mask
+            data = np.where(np.isnan(data), 0, data)
+        if data.dtype.kind == "f" and np.isnan(data).any() and validity is None:
+            validity = ~np.isnan(data)
+        data = np.nan_to_num(data, nan=0.0).astype(np_target) if data.dtype.kind == "f" and dtype is DType.INT64 else data.astype(np_target)
+    return Column(np.ascontiguousarray(data), validity)
+
+
+def batch_from_arrow(table: pa.Table) -> ColumnBatch:
+    """Arrow Table -> ColumnBatch (``record_batch_to_gpu_buffers``, ``:22-33``)."""
+    schema = schema_from_arrow(table.schema)
+    cols = [column_from_arrow(table.column(i), schema.field(i).dtype) for i in range(len(schema))]
+    return ColumnBatch(schema, cols, table.num_rows)
+
+
+def batch_to_arrow(batch: ColumnBatch) -> pa.Table:
+    """ColumnBatch -> Arrow Table (``gpu_buffers_to_record_batch``, ``:140-178``)."""
+    batch = batch.to_numpy()
+    arrays, names = [], []
+    for f, c in zip(batch.schema, batch.columns):
+        mask = None if c.validity is None else ~np.asarray(c.validity)
+        if f.dtype is DType.STRING:
+            values = np.asarray(c.dictionary, dtype=object)[np.clip(c.data, 0, None)]
+            if mask is not None:
+                values = values.copy()
+                values[mask] = None
+            arrays.append(pa.array(values, type=pa.string()))
+        elif f.dtype is DType.TIMESTAMP_MS:
+            arrays.append(pa.array(c.data, type=pa.timestamp("ms"), mask=mask))
+        elif f.dtype is DType.DATE32:
+            arrays.append(pa.array(c.data.astype(np.int32), type=pa.date32(), mask=mask))
+        elif f.dtype is DType.BOOL:
+            arrays.append(pa.array(c.data, type=pa.bool_(), mask=mask))
+        elif f.dtype is DType.INT64:
+            arrays.append(pa.array(c.data, type=pa.int64(), mask=mask))
+        else:
+            arrays.append(pa.array(c.data, type=pa.float64(), mask=mask))
+        names.append(f.name)
+    return pa.table(arrays, names=names)
+
+
+def batch_from_pandas(df) -> ColumnBatch:
+    return batch_from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def batch_to_pandas(batch: ColumnBatch):
+    return batch_to_arrow(batch).to_pandas()
+
+
+def read_parquet_schema(path: str):
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    return schema_from_arrow(pf.schema_arrow), pf.metadata.num_rows
+
+
+def read_parquet(path: str, columns=None) -> ColumnBatch:
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(path, columns=columns)
+    return batch_from_arrow(table)
+
+
+def iter_parquet_chunks(path: str, batch_size: int, columns=None):
+    """Streamed chunked scan for out-of-core execution (catalog.rs streaming role)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    for record_batch in pf.iter_batches(batch_size=batch_size, columns=columns):
+        yield batch_from_arrow(pa.Table.from_batches([record_batch]))
