@@ -86,7 +86,16 @@ class OlapEngine:
 
                 batch = CpuExecutor(self.catalog, self.config).execute(physical)
             else:
-                batch = self._get_device_executor().execute(physical)
+                from .executor.device import DeviceUnsupported
+
+                try:
+                    batch = self._get_device_executor().execute(physical)
+                except DeviceUnsupported as e:
+                    logger.info("device path unsupported (%s); CPU fallback", e)
+                    from .executor.cpu import CpuExecutor
+
+                    backend = "cpu-fallback"
+                    batch = CpuExecutor(self.catalog, self.config).execute(physical)
         logger.info("query executed: plan %.2f ms, exec %.2f ms, %d rows",
                     t_plan.seconds * 1e3, t_exec.seconds * 1e3, batch.num_rows)
         return QueryResult(batch, {

@@ -1,0 +1,771 @@
+"""Device (TPU/XLA) executor.
+
+The reference compiles per-predicate PTX kernels and caches them
+(``codegen.rs:36-47``, PROJECT_SUMMARY.md:12).  The TPU-native equivalent
+implemented here: the whole physical plan is *traced* into one XLA program
+(operators = jnp/lax ops + the sort-based kernels in ``gpu_olap_tpu.ops``) and
+jit-cached per (plan, input signature) — filters fuse into aggregations and
+joins automatically; there is no interpreter overhead at run time.
+
+Static-shape discipline (XLA requirement):
+* table columns are padded to shape buckets (recompile avoidance — the
+  kernel-cache analogue);
+* filters carry row-validity masks instead of compacting;
+* joins emit into fixed match buffers with overflow flags; the host grows the
+  capacity and recompiles on overflow (the reference caps with ``max_matches``,
+  ``join_kernels.cuh:127``);
+* aggregation outputs are padded to ``max_groups`` with a group count.
+
+String expressions are lowered at trace time against the (host-side, sorted)
+column dictionaries: comparisons/LIKE/IN become integer code comparisons or
+constant lookup tables — the dictionary-encoding upgrade over the reference's
+lossy FNV hashing (``record_batch_convert.rs:93-97``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import EngineConfig
+from ..interop.columnar import Column, ColumnBatch, DType, Schema
+from ..ops import aggregate as agg_ops
+from ..ops import filter as filter_ops
+from ..ops import join as join_ops
+from ..ops import sort as sort_ops
+from ..ops.dtypes import key_code, order_code
+from ..plan import physical as P
+from ..utils.jaxenv import ensure_jax
+from ..utils.metrics import GLOBAL_METRICS, Timer
+from ..utils.tracing import get_logger
+
+jax = ensure_jax()
+import jax.numpy as jnp  # noqa: E402
+
+logger = get_logger(__name__)
+
+
+class DeviceUnsupported(NotImplementedError):
+    """Raised at trace time for features the device path does not cover;
+    the engine falls back to the CPU oracle."""
+
+
+@dataclasses.dataclass
+class DevCol:
+    data: jnp.ndarray
+    validity: Optional[jnp.ndarray]
+    dictionary: Optional[np.ndarray] = None  # host-side, trace-time constant
+
+
+@dataclasses.dataclass
+class DevBatch:
+    schema: Schema
+    cols: List[DevCol]
+    capacity: int
+    row_valid: Optional[jnp.ndarray]  # None = all rows valid
+
+    def count(self):
+        if self.row_valid is None:
+            return jnp.asarray(self.capacity, dtype=jnp.int64)
+        return jnp.sum(self.row_valid.astype(jnp.int64))
+
+
+def _np_kind(dtype: DType) -> str:
+    return {"int64": "i", "float64": "f", "bool": "b", "string": "i",
+            "timestamp_ms": "i", "date32": "i"}[dtype.value]
+
+
+def _shape_bucket(n: int, config: EngineConfig) -> int:
+    b = max(config.min_shape_bucket, 1)
+    while b < n:
+        b = int(b * config.shape_bucket_growth)
+    return b
+
+
+def _dicts_equal(a: Optional[np.ndarray], b: Optional[np.ndarray]) -> bool:
+    if a is b:
+        return True
+    if a is None or b is None:
+        return False
+    return len(a) == len(b) and bool(np.array_equal(a, b))
+
+
+class DeviceExecutor:
+    def __init__(self, catalog, config: EngineConfig):
+        self.catalog = catalog
+        self.config = config
+        # device-resident padded table cache: name -> (hostbatch id, DevTables entry)
+        self._table_cache: Dict[str, tuple] = {}
+        # compiled plans: (plan, sig, caps_key) -> (jitted fn, meta dict)
+        self._compiled: Dict[tuple, tuple] = {}
+        # per-plan-node capacity overrides after overflow (node path -> rows)
+        self._cap_override: Dict[tuple, int] = {}
+
+    # ------------------------------------------------------------------
+    # public entry
+    # ------------------------------------------------------------------
+    def execute(self, plan: P.PhysicalPlan) -> ColumnBatch:
+        tables = self._device_tables(plan)
+        for attempt in range(8):
+            fn, meta = self._get_compiled(plan, tables)
+            arrays = {name: t["arrays"] for name, t in tables.items()}
+            out = fn(arrays)
+            flags = {k: bool(v) for k, v in zip(meta["flag_names"], out["flags"])}
+            overflowed = [k for k, v in flags.items() if v]
+            if not overflowed:
+                return self._to_host(plan, out, meta)
+            # grow capacities and recompile (bounded geometric growth)
+            for key in overflowed:
+                cur = meta["capacities"][key]
+                self._cap_override[key] = int(cur * 2)
+                logger.warning("device capacity overflow at %s: growing %d -> %d",
+                               key, cur, self._cap_override[key])
+        raise RuntimeError("join/aggregate capacity kept overflowing after 8 growths")
+
+    # ------------------------------------------------------------------
+    # tables -> device
+    # ------------------------------------------------------------------
+    def _device_tables(self, plan: P.PhysicalPlan):
+        names = set()
+
+        def walk(p):
+            if isinstance(p, P.TpuTableScan):
+                names.add(p.table_name)
+            for k in p.inputs():
+                walk(k)
+
+        walk(plan)
+        out = {}
+        for name in sorted(names):
+            host = self.catalog.get_table_data(name).to_numpy()
+            cached = self._table_cache.get(name)
+            if cached is not None and cached[0] == id(host):
+                out[name] = cached[1]
+                continue
+            cap = _shape_bucket(max(host.num_rows, 1), self.config)
+            arrays = []
+            dicts = []
+            for col in host.columns:
+                data = np.zeros(cap, dtype=col.data.dtype)
+                data[: host.num_rows] = col.data
+                entry = [jax.device_put(data)]
+                if col.validity is not None:
+                    v = np.zeros(cap, dtype=bool)
+                    v[: host.num_rows] = col.validity
+                    entry.append(jax.device_put(v))
+                else:
+                    entry.append(None)
+                arrays.append(tuple(entry))
+                dicts.append(col.dictionary)
+            entry = {
+                "arrays": arrays,
+                "dicts": dicts,
+                "schema": host.schema,
+                "num_rows": host.num_rows,
+                "capacity": cap,
+            }
+            self._table_cache[name] = (id(host), entry)
+            out[name] = entry
+        return out
+
+    # ------------------------------------------------------------------
+    # compile cache
+    # ------------------------------------------------------------------
+    def _get_compiled(self, plan: P.PhysicalPlan, tables):
+        sig = tuple(
+            (name, t["capacity"], t["num_rows"],
+             tuple((str(a[0].dtype), a[1] is not None) for a in t["arrays"]),
+             tuple(id(d) if d is not None else None for d in t["dicts"]))
+            for name, t in sorted(tables.items())
+        )
+        caps_key = tuple(sorted(self._cap_override.items()))
+        cache_key = (plan, sig, caps_key)
+        hit = self._compiled.get(cache_key)
+        if hit is not None:
+            return hit
+
+        meta = {"flag_names": [], "capacities": {}, "out_dicts": None,
+                "out_schema": None}
+        table_meta = {
+            name: {"dicts": t["dicts"], "schema": t["schema"],
+                   "num_rows": t["num_rows"], "capacity": t["capacity"]}
+            for name, t in tables.items()
+        }
+
+        interp = _Interpreter(self.config, table_meta, self._cap_override, meta)
+
+        def run(table_arrays):
+            interp.tables_arrays = table_arrays
+            interp.flags = []
+            meta["flag_names"] = []
+            meta["capacities"] = {}
+            batch = interp.exec(plan, path=())
+            meta["out_schema"] = batch.schema
+            meta["out_dicts"] = [c.dictionary for c in batch.cols]
+            cols_out = [(c.data, c.validity) for c in batch.cols]
+            rv = batch.row_valid
+            if rv is None:
+                rv = jnp.ones(batch.capacity, dtype=bool)
+            return {"cols": cols_out, "row_valid": rv,
+                    "flags": tuple(interp.flags)}
+
+        with Timer() as t:
+            fn = jax.jit(run)
+            # force trace+compile now so meta is filled and errors surface here
+            shapes = jax.eval_shape(run, {n: t_["arrays"] for n, t_ in tables.items()})
+        logger.info("plan traced in %.1f ms (cache key %d entries)",
+                    t.seconds * 1e3, len(self._compiled))
+        self._compiled[cache_key] = (fn, meta)
+        return fn, meta
+
+    # ------------------------------------------------------------------
+    def _to_host(self, plan, out, meta) -> ColumnBatch:
+        row_valid = np.asarray(out["row_valid"])
+        schema: Schema = meta["out_schema"]
+        dicts = meta["out_dicts"]
+        idx = np.nonzero(row_valid)[0]
+        cols = []
+        for (data, validity), dictionary, field in zip(out["cols"], dicts, schema):
+            d = np.asarray(data)[idx]
+            v = None if validity is None else np.asarray(validity)[idx]
+            if field.dtype is DType.BOOL and d.dtype != np.bool_:
+                d = d.astype(np.bool_)
+            cols.append(Column(d, v, dictionary))
+        return ColumnBatch(schema, cols, len(idx))
+
+
+# ---------------------------------------------------------------------------
+# the traced interpreter
+# ---------------------------------------------------------------------------
+
+
+class _Interpreter:
+    def __init__(self, config: EngineConfig, table_meta, cap_override, meta):
+        self.config = config
+        self.table_meta = table_meta
+        self.tables_arrays = None
+        self.cap_override = cap_override
+        self.meta = meta
+        self.flags: List = []
+
+    # -- operators -----------------------------------------------------
+    def exec(self, plan: P.PhysicalPlan, path: tuple) -> DevBatch:
+        if isinstance(plan, P.TpuTableScan):
+            return self._scan(plan)
+        if isinstance(plan, P.TpuFilter):
+            return self._filter(plan, path)
+        if isinstance(plan, P.TpuProjection):
+            return self._project(plan, path)
+        if isinstance(plan, P.TpuHashJoin):
+            return self._join(plan, path)
+        if isinstance(plan, P.TpuAggregate):
+            return self._aggregate(plan, path)
+        if isinstance(plan, P.TpuSort):
+            return self._sort(plan, path)
+        if isinstance(plan, P.TpuLimit):
+            return self._limit(plan, path)
+        if isinstance(plan, P.TpuDistinct):
+            return self._distinct(plan, path)
+        raise DeviceUnsupported(type(plan).__name__)
+
+    def _scan(self, plan: P.TpuTableScan) -> DevBatch:
+        tmeta = self.table_meta[plan.table_name]
+        arrays = self.tables_arrays[plan.table_name]
+        indices = plan.projection if plan.projection is not None else range(len(arrays))
+        cols = []
+        for i in indices:
+            data, validity = arrays[i]
+            cols.append(DevCol(data, validity, tmeta["dicts"][i]))
+        cap = tmeta["capacity"]
+        n = tmeta["num_rows"]
+        row_valid = None
+        if n < cap:
+            row_valid = jnp.arange(cap) < n
+        return DevBatch(plan.schema, cols, cap, row_valid)
+
+    def _filter(self, plan: P.TpuFilter, path) -> DevBatch:
+        batch = self.exec(plan.input, path + (0,))
+        data, valid, _ = self.eval_expr(plan.predicate, batch)
+        mask = filter_ops.combine_mask(batch.row_valid, data, valid)
+        return DevBatch(plan.schema, batch.cols, batch.capacity, mask)
+
+    def _project(self, plan: P.TpuProjection, path) -> DevBatch:
+        batch = self.exec(plan.input, path + (0,))
+        cols = []
+        for e in plan.exprs:
+            data, valid, dictionary = self.eval_expr(e, batch)
+            cols.append(DevCol(data, valid, dictionary))
+        return DevBatch(plan.schema, cols, batch.capacity, batch.row_valid)
+
+    def _join(self, plan: P.TpuHashJoin, path) -> DevBatch:
+        left = self.exec(plan.left, path + (0,))
+        right = self.exec(plan.right, path + (1,))
+        nl, nr = left.capacity, right.capacity
+
+        if plan.join_type == "cross":
+            raise DeviceUnsupported("cross join on device")
+
+        lkeys = [self._key_of(k, left) for k in plan.left_keys]
+        rkeys = [self._key_of(k, right) for k in plan.right_keys]
+        # unify dictionaries for string key pairs
+        lkeys, rkeys = self._unify_string_keys(plan, left, right, lkeys, rkeys)
+
+        cap_key = ("join", path)
+        capacity = self.cap_override.get(
+            cap_key, int(max(nl, nr) * self.config.join_expansion)
+        )
+        self.meta["capacities"][cap_key] = capacity
+
+        li, ri, out_valid, total, overflow, cnt = join_ops.inner_join(
+            lkeys, left.row_valid, rkeys, right.row_valid, capacity
+        )
+        self._push_flag(cap_key, overflow)
+
+        if plan.join_type in ("left", "right", "full"):
+            li, ri, out_valid, total = join_ops.outer_extend(
+                plan.join_type, li, ri, out_valid, total, cnt,
+                left.row_valid, right.row_valid, nl, nr,
+            )
+
+        out_cap = li.shape[0]
+        cols = []
+        for c in left.cols:
+            cols.append(_gather_col(c, li, out_valid))
+        for c in right.cols:
+            cols.append(_gather_col(c, ri, out_valid))
+        out = DevBatch(plan.schema, cols, out_cap, out_valid)
+
+        if plan.residual is not None:
+            data, valid, _ = self.eval_expr(plan.residual, out)
+            mask = filter_ops.combine_mask(out.row_valid, data, valid)
+            if plan.join_type != "inner":
+                pad_l = li < 0
+                pad_r = ri < 0
+                mask = mask | ((pad_l | pad_r) & out_valid)
+            out = DevBatch(plan.schema, cols, out_cap, mask)
+        return out
+
+    def _key_of(self, expr: P.PhysExpr, batch: DevBatch):
+        data, valid, dictionary = self.eval_expr(expr, batch)
+        code, null = key_code(data, valid, _np_kind(expr.dtype))
+        return {"code": code, "null": null, "dict": dictionary, "dtype": expr.dtype}
+
+    def _unify_string_keys(self, plan, left, right, lkeys, rkeys):
+        lout, rout = [], []
+        for lk, rk, le, re_ in zip(lkeys, rkeys, plan.left_keys, plan.right_keys):
+            if le.dtype is DType.STRING or re_.dtype is DType.STRING:
+                if not _dicts_equal(lk["dict"], rk["dict"]):
+                    union = np.unique(np.concatenate([
+                        np.asarray(lk["dict"], dtype=str),
+                        np.asarray(rk["dict"], dtype=str),
+                    ]))
+                    lmap = jnp.asarray(np.searchsorted(union, np.asarray(lk["dict"], dtype=str)))
+                    rmap = jnp.asarray(np.searchsorted(union, np.asarray(rk["dict"], dtype=str)))
+                    lk = dict(lk, code=lmap[jnp.clip(lk["code"], 0, len(lmap) - 1)])
+                    rk = dict(rk, code=rmap[jnp.clip(rk["code"], 0, len(rmap) - 1)])
+            lout.append((lk["code"], lk["null"]))
+            rout.append((rk["code"], rk["null"]))
+        return lout, rout
+
+    def _aggregate(self, plan: P.TpuAggregate, path) -> DevBatch:
+        batch = self.exec(plan.input, path + (0,))
+        keys = []
+        key_meta = []
+        for g in plan.group_exprs:
+            data, valid, dictionary = self.eval_expr(g, batch)
+            code, null = key_code(data, valid, _np_kind(g.dtype))
+            keys.append((code, null))
+            key_meta.append((g.dtype, dictionary))
+
+        cap_key = ("agg", path)
+        if plan.group_exprs:
+            max_groups = self.cap_override.get(
+                cap_key, min(self.config.max_groups, batch.capacity)
+            )
+        else:
+            max_groups = 1
+        self.meta["capacities"][cap_key] = max_groups
+
+        specs = []
+        for a in plan.aggs:
+            if a.arg is None:
+                specs.append({"func": a.func, "values": None, "valid": None,
+                              "distinct": a.distinct,
+                              "acc_dtype": a.out_dtype.numpy_dtype})
+                continue
+            data, valid, dictionary = self.eval_expr(a.arg, batch)
+            specs.append({
+                "func": a.func, "values": data, "valid": valid,
+                "distinct": a.distinct, "acc_dtype": a.out_dtype.numpy_dtype,
+                "np_kind": _np_kind(a.arg.dtype),
+                # min/max over string codes is exact because dictionaries are
+                # sorted; the result column keeps the argument's dictionary
+                "dictionary": dictionary if a.out_dtype is DType.STRING else None,
+            })
+
+        group_codes, results, n_groups, overflow = agg_ops.groupby_aggregate(
+            keys, batch.row_valid, specs, max_groups, n_rows=batch.capacity
+        )
+        if plan.group_exprs:
+            self._push_flag(cap_key, overflow)
+
+        cols = []
+        for (code, null), (dtype, dictionary) in zip(group_codes, key_meta):
+            cols.append(_decode_key(code, null, dtype, dictionary))
+        for (data, valid), a, spec in zip(results, plan.aggs, specs):
+            cols.append(DevCol(data, valid, spec.get("dictionary")))
+
+        out_cap = max_groups if plan.group_exprs else 1
+        if plan.group_exprs:
+            row_valid = jnp.arange(out_cap) < n_groups
+        else:
+            row_valid = None
+        return DevBatch(plan.schema, cols, out_cap, row_valid)
+
+    def _sort_keys(self, keys, batch: DevBatch):
+        out = []
+        for k in keys:
+            data, valid, dictionary = self.eval_expr(k.expr, batch)
+            codes = order_code(data, _np_kind(k.expr.dtype))
+            nulls = None if valid is None else ~valid
+            out.append({"codes": codes, "nulls": nulls,
+                        "ascending": k.ascending, "nulls_last": k.nulls_last})
+        return out
+
+    def _sort(self, plan: P.TpuSort, path) -> DevBatch:
+        batch = self.exec(plan.input, path + (0,))
+        keys = self._sort_keys(plan.keys, batch)
+        perm = sort_ops.order_by_permutation(keys, batch.row_valid, batch.capacity)
+        count = batch.count()
+        cols = [DevCol(
+            c.data[perm],
+            None if c.validity is None else c.validity[perm],
+            c.dictionary,
+        ) for c in batch.cols]
+        n = batch.capacity
+        limit = plan.limit if plan.limit is not None else n
+        row_valid = jnp.arange(n) < jnp.minimum(count, limit)
+        return DevBatch(plan.schema, cols, n, row_valid)
+
+    def _limit(self, plan: P.TpuLimit, path) -> DevBatch:
+        batch = self.exec(plan.input, path + (0,))
+        rv = batch.row_valid
+        if rv is None:
+            rv = jnp.ones(batch.capacity, dtype=bool)
+        pos = jnp.cumsum(rv.astype(jnp.int64))
+        lo = plan.offset
+        hi = lo + plan.limit if plan.limit is not None else None
+        mask = rv & (pos > lo)
+        if hi is not None:
+            mask = mask & (pos <= hi)
+        return DevBatch(plan.schema, batch.cols, batch.capacity, mask)
+
+    def _distinct(self, plan: P.TpuDistinct, path) -> DevBatch:
+        batch = self.exec(plan.input, path + (0,))
+        keys = []
+        key_meta = []
+        for f, c in zip(batch.schema, batch.cols):
+            code, null = key_code(c.data, c.validity, _np_kind(f.dtype))
+            keys.append((code, null))
+            key_meta.append((f.dtype, c.dictionary))
+        cap_key = ("distinct", path)
+        max_groups = self.cap_override.get(cap_key, batch.capacity)
+        self.meta["capacities"][cap_key] = max_groups
+        group_codes, _, n_groups, overflow = agg_ops.groupby_aggregate(
+            keys, batch.row_valid, [], max_groups, n_rows=batch.capacity
+        )
+        self._push_flag(cap_key, overflow)
+        cols = [
+            _decode_key(code, null, dtype, dictionary)
+            for (code, null), (dtype, dictionary) in zip(group_codes, key_meta)
+        ]
+        row_valid = jnp.arange(max_groups) < n_groups
+        return DevBatch(plan.schema, cols, max_groups, row_valid)
+
+    def _push_flag(self, cap_key, flag):
+        self.meta["flag_names"].append(cap_key)
+        self.flags.append(flag)
+
+    # ------------------------------------------------------------------
+    # expression evaluation: returns (data, validity|None, dictionary|None)
+    # ------------------------------------------------------------------
+    def eval_expr(self, e: P.PhysExpr, batch: DevBatch):
+        if isinstance(e, P.ColumnRef):
+            c = batch.cols[e.index]
+            return c.data, c.validity, c.dictionary
+        if isinstance(e, P.PhysLiteral):
+            return self._literal(e, batch.capacity)
+        if isinstance(e, P.PhysBinary):
+            return self._binary(e, batch)
+        if isinstance(e, P.PhysUnary):
+            data, valid, _ = self.eval_expr(e.operand, batch)
+            if e.op == "NOT":
+                return ~data.astype(bool), valid, None
+            if e.op == "-":
+                return -data, valid, None
+            raise DeviceUnsupported(e.op)
+        if isinstance(e, P.PhysIsNull):
+            data, valid, _ = self.eval_expr(e.operand, batch)
+            isnull = jnp.zeros(data.shape, dtype=bool) if valid is None else ~valid
+            return (~isnull if e.negated else isnull), None, None
+        if isinstance(e, P.PhysInList):
+            return self._in_list(e, batch)
+        if isinstance(e, P.PhysCase):
+            return self._case(e, batch)
+        if isinstance(e, P.PhysFunc):
+            return self._func(e, batch)
+        raise DeviceUnsupported(type(e).__name__)
+
+    def _literal(self, e: P.PhysLiteral, n: int):
+        if e.value is None:
+            return (jnp.zeros(n, dtype=e.dtype.numpy_dtype),
+                    jnp.zeros(n, dtype=bool), None)
+        if isinstance(e.value, str):
+            return (jnp.zeros(n, dtype=jnp.int64), None,
+                    np.array([e.value], dtype=object))
+        np_dtype = e.dtype.numpy_dtype
+        return jnp.full(n, e.value, dtype=np_dtype), None, None
+
+    def _binary(self, e: P.PhysBinary, batch: DevBatch):
+        if e.op in ("AND", "OR"):
+            ld, lv, _ = self.eval_expr(e.left, batch)
+            rd, rv, _ = self.eval_expr(e.right, batch)
+            ld = ld.astype(bool)
+            rd = rd.astype(bool)
+            lvv = jnp.ones(ld.shape, bool) if lv is None else lv
+            rvv = jnp.ones(rd.shape, bool) if rv is None else rv
+            if e.op == "AND":
+                val = ld & rd
+                valid = (lvv & rvv) | (lvv & ~ld) | (rvv & ~rd)
+                return val & valid, (None if (lv is None and rv is None) else valid), None
+            val = ld | rd
+            valid = (lvv & rvv) | (lvv & ld) | (rvv & rd)
+            return val, (None if (lv is None and rv is None) else valid), None
+
+        ld, lv, ldict = self.eval_expr(e.left, batch)
+        rd, rv, rdict = self.eval_expr(e.right, batch)
+        valid = _and_valid(lv, rv)
+
+        if e.left.dtype is DType.STRING or e.right.dtype is DType.STRING:
+            if e.op == "||":
+                raise DeviceUnsupported("string concatenation on device")
+            ld, rd = _align_string_codes(ld, ldict, rd, rdict)
+            return _cmp(e.op, ld, rd), valid, None
+
+        if e.op in ("=", "!=", "<", "<=", ">", ">="):
+            return _cmp(e.op, ld, rd), valid, None
+
+        out_np = e.dtype.numpy_dtype
+        if e.op == "+":
+            return ld.astype(out_np) + rd.astype(out_np), valid, None
+        if e.op == "-":
+            return ld.astype(out_np) - rd.astype(out_np), valid, None
+        if e.op == "*":
+            return ld.astype(out_np) * rd.astype(out_np), valid, None
+        if e.op == "/":
+            nonzero = rd != 0
+            valid = nonzero if valid is None else (valid & nonzero)
+            if np.dtype(out_np).kind == "i":
+                safe = jnp.where(nonzero, rd, 1)
+                # i64 division truncating toward zero (executor.rs:434)
+                q = jnp.trunc(ld.astype(jnp.float64) / safe.astype(jnp.float64))
+                big = jnp.abs(ld) > (1 << 52)
+                q_exact = jnp.where(
+                    big,
+                    (jnp.sign(ld) * jnp.sign(safe)) * (jnp.abs(ld) // jnp.abs(safe)),
+                    q.astype(jnp.int64),
+                )
+                return q_exact.astype(jnp.int64), valid, None
+            safe = jnp.where(nonzero, rd, 1)
+            return ld.astype(jnp.float64) / safe.astype(jnp.float64), valid, None
+        if e.op == "%":
+            nonzero = rd != 0
+            valid = nonzero if valid is None else (valid & nonzero)
+            safe = jnp.where(nonzero, rd, 1)
+            if np.dtype(out_np).kind == "i":
+                # match C/Rust fmod semantics (sign of dividend)
+                q = (jnp.sign(ld) * jnp.sign(safe)) * (jnp.abs(ld) // jnp.abs(safe))
+                return ld - q * safe, valid, None
+            return jnp.where(nonzero, ld - jnp.trunc(ld / safe) * safe, 0.0), valid, None
+        raise DeviceUnsupported(e.op)
+
+    def _in_list(self, e: P.PhysInList, batch: DevBatch):
+        data, valid, dictionary = self.eval_expr(e.operand, batch)
+        if e.operand.dtype is DType.STRING:
+            lut = np.isin(np.asarray(dictionary, dtype=str),
+                          [str(v) for v in e.values])
+            mask = jnp.asarray(lut)[jnp.clip(data, 0, len(lut) - 1)]
+        else:
+            mask = jnp.zeros(data.shape, dtype=bool)
+            for v in e.values:
+                if v is None:
+                    continue
+                mask = mask | (data == v)
+        if e.negated:
+            mask = ~mask
+        return mask, valid, None
+
+    def _case(self, e: P.PhysCase, batch: DevBatch):
+        n = batch.capacity
+        out_np = e.dtype.numpy_dtype
+        result = jnp.zeros(n, dtype=out_np)
+        out_valid = jnp.zeros(n, dtype=bool)
+        decided = jnp.zeros(n, dtype=bool)
+        for cond, val in e.branches:
+            cd, cv, _ = self.eval_expr(cond, batch)
+            cmask = cd.astype(bool) & (~decided)
+            if cv is not None:
+                cmask = cmask & cv
+            vd, vv, _ = self.eval_expr(val, batch)
+            result = jnp.where(cmask, vd.astype(out_np), result)
+            out_valid = jnp.where(cmask, jnp.ones(n, bool) if vv is None else vv, out_valid)
+            decided = decided | cmask
+        if e.default is not None:
+            vd, vv, _ = self.eval_expr(e.default, batch)
+            result = jnp.where(decided, result, vd.astype(out_np))
+            out_valid = jnp.where(decided, out_valid,
+                                  jnp.ones(n, bool) if vv is None else vv)
+        return result, out_valid, None
+
+    def _func(self, e: P.PhysFunc, batch: DevBatch):
+        if e.func == "date_part":
+            part, ts = e.args
+            assert isinstance(part, P.PhysLiteral)
+            data, valid, _ = self.eval_expr(ts, batch)
+            return _date_part(str(part.value).lower(), data), valid, None
+        if e.func == "like":
+            target, pat = e.args
+            assert isinstance(pat, P.PhysLiteral)
+            data, valid, dictionary = self.eval_expr(target, batch)
+            import re
+
+            regex = re.compile(
+                "^" + re.escape(str(pat.value)).replace("%", ".*").replace("_", ".") + "$",
+                re.DOTALL,
+            )
+            lut = np.array([bool(regex.match(str(s))) for s in np.asarray(dictionary)])
+            return jnp.asarray(lut)[jnp.clip(data, 0, len(lut) - 1)], valid, None
+        if e.func == "cast":
+            data, valid, _ = self.eval_expr(e.args[0], batch)
+            return data.astype(e.dtype.numpy_dtype), valid, None
+        if e.func == "abs":
+            data, valid, _ = self.eval_expr(e.args[0], batch)
+            return jnp.abs(data), valid, None
+        if e.func in ("round", "floor", "ceil", "sqrt", "ln", "log", "exp"):
+            data, valid, _ = self.eval_expr(e.args[0], batch)
+            fn = {"round": jnp.round, "floor": jnp.floor, "ceil": jnp.ceil,
+                  "sqrt": jnp.sqrt, "ln": jnp.log, "log": jnp.log10,
+                  "exp": jnp.exp}[e.func]
+            return fn(data.astype(jnp.float64)).astype(e.dtype.numpy_dtype), valid, None
+        if e.func == "coalesce":
+            out_np = e.dtype.numpy_dtype
+            parts = [self.eval_expr(a, batch) for a in e.args]
+            data = parts[0][0].astype(out_np)
+            valid = parts[0][1]
+            vv = jnp.ones(data.shape, bool) if valid is None else valid
+            for d2, v2, _ in parts[1:]:
+                v2v = jnp.ones(data.shape, bool) if v2 is None else v2
+                take = (~vv) & v2v
+                data = jnp.where(take, d2.astype(out_np), data)
+                vv = vv | v2v
+            return data, vv, None
+        if e.func == "power":
+            a, av, _ = self.eval_expr(e.args[0], batch)
+            b, bv, _ = self.eval_expr(e.args[1], batch)
+            return (jnp.power(a.astype(jnp.float64), b.astype(jnp.float64)),
+                    _and_valid(av, bv), None)
+        raise DeviceUnsupported(e.func)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _and_valid(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return a & b
+
+
+def _cmp(op, ld, rd):
+    return {"=": jnp.equal, "!=": jnp.not_equal, "<": jnp.less,
+            "<=": jnp.less_equal, ">": jnp.greater, ">=": jnp.greater_equal}[op](ld, rd)
+
+
+def _align_string_codes(ld, ldict, rd, rdict):
+    """Remap two string-code columns into a shared sorted dictionary space."""
+    if _dicts_equal(ldict, rdict):
+        return ld, rd
+    union = np.unique(np.concatenate([
+        np.asarray(ldict, dtype=str), np.asarray(rdict, dtype=str)
+    ]))
+    lmap = jnp.asarray(np.searchsorted(union, np.asarray(ldict, dtype=str)))
+    rmap = jnp.asarray(np.searchsorted(union, np.asarray(rdict, dtype=str)))
+    return (lmap[jnp.clip(ld, 0, len(lmap) - 1)],
+            rmap[jnp.clip(rd, 0, len(rmap) - 1)])
+
+
+def _gather_col(c: DevCol, idx, out_valid) -> DevCol:
+    """Gather a join-side column by row indices; -1 marks the null-padded side
+    of an outer join."""
+    nb = c.data.shape[0]
+    pad = idx < 0
+    safe = jnp.clip(idx, 0, nb - 1)
+    data = c.data[safe]
+    if c.validity is None:
+        valid = ~pad
+    else:
+        valid = c.validity[safe] & ~pad
+    return DevCol(data, valid, c.dictionary)
+
+
+def _decode_key(code, null, dtype: DType, dictionary) -> DevCol:
+    if dtype is DType.FLOAT64:
+        data = jax.lax.bitcast_convert_type(code, jnp.float64)
+    elif dtype is DType.BOOL:
+        data = code.astype(bool)
+    else:
+        data = code
+    return DevCol(data, ~null, dictionary)
+
+
+_DAY_MS = 86_400_000
+
+
+def _date_part(part: str, ms):
+    """Calendar decomposition of epoch-ms (civil-from-days, branch-free)."""
+    days = jnp.floor_divide(ms, _DAY_MS)
+    ms_in_day = ms - days * _DAY_MS
+    if part == "hour":
+        return jnp.floor_divide(ms_in_day, 3_600_000).astype(jnp.int64)
+    if part == "minute":
+        return (jnp.floor_divide(ms_in_day, 60_000) % 60).astype(jnp.int64)
+    if part == "second":
+        return (jnp.floor_divide(ms_in_day, 1000) % 60).astype(jnp.int64)
+    if part in ("dow", "dayofweek"):
+        return ((days + 4) % 7).astype(jnp.int64)
+    # civil-from-days (Hinnant's algorithm, integer-only)
+    z = days + 719468
+    era = jnp.floor_divide(z, 146097)
+    doe = z - era * 146097
+    yoe = jnp.floor_divide(doe - jnp.floor_divide(doe, 1460)
+                           + jnp.floor_divide(doe, 36524)
+                           - jnp.floor_divide(doe, 146096), 365)
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + jnp.floor_divide(yoe, 4) - jnp.floor_divide(yoe, 100))
+    mp = jnp.floor_divide(5 * doy + 2, 153)
+    d = doy - jnp.floor_divide(153 * mp + 2, 5) + 1
+    m = mp + jnp.where(mp < 10, 3, -9)
+    y = y + jnp.where(m <= 2, 1, 0)
+    if part == "year":
+        return y.astype(jnp.int64)
+    if part == "month":
+        return m.astype(jnp.int64)
+    if part == "day":
+        return d.astype(jnp.int64)
+    raise DeviceUnsupported(f"date_part({part!r})")

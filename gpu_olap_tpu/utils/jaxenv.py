@@ -1,0 +1,21 @@
+"""JAX environment setup for the device path.
+
+The interchange contract widens everything to 8 bytes (``column_buffer.rs:17-21``)
+and BASELINE requires bit-identical int64 keys, so the device path runs with x64
+enabled (XLA emulates s64 on TPU as 32-bit pairs; exactness over raw speed for
+keys — float32 fast paths are opt-in via EngineConfig.prefer_float32).
+"""
+
+from __future__ import annotations
+
+_READY = False
+
+
+def ensure_jax():
+    global _READY
+    import jax
+
+    if not _READY:
+        jax.config.update("jax_enable_x64", True)
+        _READY = True
+    return jax

@@ -7,10 +7,16 @@ Must run before any ``import jax``.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the axon sitecustomize force-registers the TPU-tunnel platform; tests run on
+# the virtual 8-device CPU mesh (SURVEY.md §4 multi-device strategy)
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
