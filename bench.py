@@ -1,0 +1,176 @@
+"""Benchmark harness — BASELINE.json workloads on real hardware.
+
+Prints ONE JSON line to stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline: two-table equi-join throughput (BASELINE config 3; reference claim
+62.5M rows/s for 100M x 100M on GPU, README.md:325 — rows counted as
+left+right like the reference).  Details for all configs go to stderr and
+bench_results.json.
+
+Usage:  python bench.py [--quick] [--config N] [--rows N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINES = {
+    # reference-published GPU numbers (BASELINE.md)
+    "join": 62.5e6,          # rows/s, inner join (l+r rows / time)
+    "groupby": 526e6,        # rows/s, 1B-row GROUP BY
+    "filter_agg": 526e6,     # closest published analogue
+    "sortmerge": 48.8e6,     # rows/s sort-merge join
+}
+
+
+def _engine(batch_rows: int):
+    from gpu_olap_tpu import EngineConfig, OlapEngine
+
+    cfg = EngineConfig(
+        backend="device",
+        join_expansion=1.25,
+        max_groups=1 << 22,
+        min_shape_bucket=1 << 16,
+    )
+    return OlapEngine(cfg)
+
+
+def _time_query(eng, sql: str, iters: int = 3):
+    import jax
+
+    eng.query(sql)  # warm: compile + device upload
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        r = eng.query(sql)
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+    return best, r
+
+
+def bench_filter_agg(n_rows: int, iters: int):
+    """Config 1: scan + filter (x > c) + COUNT/SUM on int64."""
+    eng = _engine(n_rows)
+    rng = np.random.default_rng(0)
+    eng.register("t", {
+        "k": rng.integers(0, 1 << 20, n_rows).astype(np.int64),
+        "v": rng.integers(0, 1000, n_rows).astype(np.int64),
+    })
+    sql = "SELECT COUNT(*) AS n, SUM(v) AS s FROM t WHERE v > 500"
+    dt, r = _time_query(eng, sql, iters)
+    return {"seconds": dt, "rows": n_rows, "rows_per_sec": n_rows / dt,
+            "result_rows": r.num_rows}
+
+
+def bench_groupby(n_rows: int, n_groups: int, iters: int):
+    """Config 2: high-cardinality GROUP BY SUM/MIN/MAX."""
+    eng = _engine(n_rows)
+    rng = np.random.default_rng(1)
+    eng.register("t", {
+        "k": rng.integers(0, n_groups, n_rows).astype(np.int64),
+        "v": rng.integers(0, 1_000_000, n_rows).astype(np.int64),
+    })
+    sql = "SELECT k, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx FROM t GROUP BY k"
+    dt, r = _time_query(eng, sql, iters)
+    return {"seconds": dt, "rows": n_rows, "rows_per_sec": n_rows / dt,
+            "groups": r.num_rows}
+
+
+def bench_join(n_left: int, n_right: int, iters: int, zipf: bool = False):
+    """Config 3: two-table hash join, uniform int64 keys (probe x build)."""
+    eng = _engine(max(n_left, n_right))
+    rng = np.random.default_rng(2)
+    if zipf:
+        raw = rng.zipf(1.3, n_left).astype(np.int64)
+        lk = np.clip(raw, 1, n_right) - 1
+    else:
+        lk = rng.integers(0, n_right, n_left).astype(np.int64)
+    eng.register("l", {"k": lk, "v": rng.integers(0, 1000, n_left).astype(np.int64)})
+    eng.register("r", {"k": np.arange(n_right, dtype=np.int64),
+                       "w": rng.integers(0, 1000, n_right).astype(np.int64)})
+    sql = "SELECT COUNT(*) AS n, SUM(l.v + r.w) AS s FROM l JOIN r ON l.k = r.k"
+    dt, r = _time_query(eng, sql, iters)
+    total_rows = n_left + n_right
+    return {"seconds": dt, "rows": total_rows, "rows_per_sec": total_rows / dt,
+            "matches": int(r.to_pydict()["n"][0])}
+
+
+def bench_sortmerge(n_left: int, n_right: int, iters: int):
+    """Config 4: duplicate-heavy keys (stress the merge/expansion path)."""
+    eng = _engine(max(n_left, n_right))
+    rng = np.random.default_rng(3)
+    # ~8 duplicates per build key
+    nkeys = max(n_right // 8, 1)
+    eng.register("l", {"k": rng.integers(0, nkeys, n_left).astype(np.int64)})
+    eng.register("r", {"k": rng.integers(0, nkeys, n_right).astype(np.int64)})
+    sql = "SELECT COUNT(*) AS n FROM l JOIN r ON l.k = r.k"
+    dt, r = _time_query(eng, sql, iters)
+    total_rows = n_left + n_right
+    return {"seconds": dt, "rows": total_rows, "rows_per_sec": total_rows / dt,
+            "matches": int(r.to_pydict()["n"][0])}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small sizes (smoke)")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="scale factor on row counts")
+    args = ap.parse_args()
+
+    if args.quick:
+        sizes = {"filter_agg": 1 << 20, "groupby": (1 << 20, 1 << 14),
+                 "join": (1 << 20, 1 << 17), "sortmerge": (1 << 19, 1 << 17)}
+    else:
+        s = args.scale
+        sizes = {
+            "filter_agg": int(200e6 * s),
+            "groupby": (int(100e6 * s), int(4e6 * s)),
+            "join": (int(100e6 * s), int(10e6 * s)),
+            "sortmerge": (int(50e6 * s), int(50e6 * s)),
+        }
+
+    results = {}
+    t0 = time.time()
+    results["filter_agg"] = bench_filter_agg(sizes["filter_agg"], args.iters)
+    print(f"# filter_agg: {results['filter_agg']}", file=sys.stderr)
+    results["groupby"] = bench_groupby(*sizes["groupby"], args.iters)
+    print(f"# groupby: {results['groupby']}", file=sys.stderr)
+    results["join"] = bench_join(*sizes["join"], args.iters)
+    print(f"# join: {results['join']}", file=sys.stderr)
+    results["sortmerge"] = bench_sortmerge(*sizes["sortmerge"], args.iters)
+    print(f"# sortmerge: {results['sortmerge']}", file=sys.stderr)
+
+    for name, res in results.items():
+        res["vs_baseline"] = res["rows_per_sec"] / BASELINES[name]
+
+    try:
+        import jax
+
+        device = str(jax.devices()[0])
+    except Exception:
+        device = "unknown"
+    payload = {"device": device, "total_seconds": time.time() - t0,
+               "results": results}
+    with open("bench_results.json", "w") as f:
+        json.dump(payload, f, indent=2, default=str)
+    print(f"# full results -> bench_results.json ({device})", file=sys.stderr)
+
+    headline = results["join"]
+    print(json.dumps({
+        "metric": "inner_join_100Mx10M_rows_per_sec" if not args.quick
+        else "inner_join_quick_rows_per_sec",
+        "value": round(headline["rows_per_sec"], 1),
+        "unit": "rows/s",
+        "vs_baseline": round(headline["vs_baseline"], 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -204,11 +204,21 @@ class DeviceExecutor:
             batch = interp.exec(plan, path=())
             meta["out_schema"] = batch.schema
             meta["out_dicts"] = [c.dictionary for c in batch.cols]
-            cols_out = [(c.data, c.validity) for c in batch.cols]
+            # device-side prefix compaction so the host transfers only
+            # count rows, not the padded capacity (critical when the result
+            # is small and the device link is slow)
             rv = batch.row_valid
             if rv is None:
-                rv = jnp.ones(batch.capacity, dtype=bool)
-            return {"cols": cols_out, "row_valid": rv,
+                count = jnp.asarray(batch.capacity, dtype=jnp.int64)
+                cols_out = [(c.data, c.validity) for c in batch.cols]
+            else:
+                gather_idx, count = filter_ops.compaction_indices(rv)
+                cols_out = []
+                for c in batch.cols:
+                    d = c.data[gather_idx]
+                    v = None if c.validity is None else c.validity[gather_idx]
+                    cols_out.append((d, v))
+            return {"cols": cols_out, "count": count,
                     "flags": tuple(interp.flags)}
 
         with Timer() as t:
@@ -222,18 +232,18 @@ class DeviceExecutor:
 
     # ------------------------------------------------------------------
     def _to_host(self, plan, out, meta) -> ColumnBatch:
-        row_valid = np.asarray(out["row_valid"])
         schema: Schema = meta["out_schema"]
         dicts = meta["out_dicts"]
-        idx = np.nonzero(row_valid)[0]
+        n = int(out["count"])
         cols = []
         for (data, validity), dictionary, field in zip(out["cols"], dicts, schema):
-            d = np.asarray(data)[idx]
-            v = None if validity is None else np.asarray(validity)[idx]
+            # rows are prefix-compacted on device; pull only the valid prefix
+            d = np.asarray(data[:n])
+            v = None if validity is None else np.asarray(validity[:n])
             if field.dtype is DType.BOOL and d.dtype != np.bool_:
                 d = d.astype(np.bool_)
             cols.append(Column(d, v, dictionary))
-        return ColumnBatch(schema, cols, len(idx))
+        return ColumnBatch(schema, cols, n)
 
 
 # ---------------------------------------------------------------------------

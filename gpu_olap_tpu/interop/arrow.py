@@ -53,11 +53,44 @@ def _validity_from_chunked(arr: pa.ChunkedArray) -> Optional[np.ndarray]:
     return ~np.asarray(arr.is_null())
 
 
+def _native_dict_encode(arr: pa.ChunkedArray, validity):
+    """Dictionary-encode via the native C++ kernel on raw Arrow buffers;
+    returns None to fall back to the NumPy path."""
+    try:
+        from .. import native
+    except Exception:
+        return None
+    combined = arr.combine_chunks()
+    if isinstance(combined, pa.ChunkedArray):
+        if combined.num_chunks != 1:
+            return None
+        combined = combined.chunk(0)
+    if combined.offset != 0:
+        combined = pa.concat_arrays([combined])  # re-materialize at offset 0
+    bufs = combined.buffers()
+    if len(bufs) < 3 or bufs[1] is None or bufs[2] is None:
+        return None
+    if pa.types.is_large_string(combined.type):
+        offsets = np.frombuffer(bufs[1], dtype=np.int64)[: len(combined) + 1]
+    else:
+        offsets = np.frombuffer(bufs[1], dtype=np.int32).astype(np.int64)[: len(combined) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    vbytes = None
+    if validity is not None:
+        vbytes = validity.astype(np.uint8)
+    res = native.dict_encode_utf8(data, offsets, vbytes)
+    return res
+
+
 def column_from_arrow(arr: pa.ChunkedArray, dtype: DType) -> Column:
     validity = _validity_from_chunked(arr)
     if dtype is DType.STRING:
         if pa.types.is_dictionary(arr.type):
             arr = arr.cast(arr.type.value_type)
+        native_res = _native_dict_encode(arr, validity)
+        if native_res is not None:
+            codes, dictionary = native_res
+            return Column(codes, validity, dictionary)
         host = arr.to_numpy(zero_copy_only=False)
         codes, dictionary, v2 = dict_encode_strings(host)
         if validity is None:

@@ -1,0 +1,142 @@
+"""Distributed operators: shuffle join and shuffle group-by over the mesh.
+
+BASELINE north star: "tables hash-partitioned across TPU hosts, distributed
+shuffle of join/group-by keys, exchange overlapped with probe/aggregate
+compute".  Each operator is one ``shard_map`` program: shuffle (all-to-all over
+ICI) immediately followed by the local sort-based kernel — XLA overlaps the
+collective with the local sort/probe pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+from ..utils.jaxenv import ensure_jax
+
+jax = ensure_jax()
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import PartitionSpec as P  # noqa: E402
+from jax import shard_map  # noqa: E402
+
+from ..ops import aggregate as agg_ops  # noqa: E402
+from ..ops import join as join_ops  # noqa: E402
+from .mesh import AXIS  # noqa: E402
+from .shuffle import shuffle_rows_local  # noqa: E402
+
+
+def make_dist_groupby(mesh, agg_specs: Sequence[dict], capacity: int,
+                      max_groups: int):
+    """Distributed GROUP BY: shuffle rows by key hash, then local sort-based
+    aggregation.  Every key lands on exactly one device, so local results are
+    exact and globally disjoint.
+
+    ``agg_specs``: [{func, acc_dtype}] — one value column per spec.
+    Returns jitted fn(keys, row_valid, *value_cols) ->
+    (group_keys, [agg_results...], group_valid, n_groups_per_dev)."""
+    ndev = mesh.devices.size
+    nvals = len(agg_specs)
+
+    in_specs = (P(AXIS), P(AXIS)) + (P(AXIS),) * nvals
+    out_specs = (P(AXIS), tuple(P(AXIS) for _ in agg_specs), P(AXIS), P(AXIS))
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    def _dist_groupby(keys, row_valid, *value_cols):
+        rkeys, rvals, rvalid, _ = shuffle_rows_local(
+            keys, list(value_cols), row_valid, ndev, capacity
+        )
+        specs = []
+        for spec, vals in zip(agg_specs, rvals):
+            specs.append({
+                "func": spec["func"], "values": vals, "valid": None,
+                "distinct": False, "acc_dtype": spec["acc_dtype"],
+            })
+        group_codes, results, n_groups, _ = agg_ops.groupby_aggregate(
+            [(rkeys, jnp.zeros_like(rvalid))], rvalid, specs, max_groups,
+            n_rows=rkeys.shape[0],
+        )
+        gkeys = group_codes[0][0]
+        gvalid = jnp.arange(max_groups) < n_groups
+        return (gkeys, tuple(r[0] for r in results), gvalid,
+                n_groups.reshape(1))
+
+    return jax.jit(_dist_groupby)
+
+
+def make_dist_join(mesh, capacity: int, join_capacity: int,
+                   n_left_payloads: int, n_right_payloads: int):
+    """Distributed inner equi-join: both sides shuffled by key hash, then the
+    local sort-probe join per device (co-partitioned keys match locally).
+
+    Returns jitted fn(lkeys, lvalid, rkeys, rvalid, *left_payloads,
+    *right_payloads) -> (out_lkey, [left payloads], [right payloads],
+    out_valid, match_count_per_dev)."""
+    ndev = mesh.devices.size
+
+    in_specs = (P(AXIS),) * (4 + n_left_payloads + n_right_payloads)
+    out_specs = (P(AXIS),
+                 tuple(P(AXIS) for _ in range(n_left_payloads)),
+                 tuple(P(AXIS) for _ in range(n_right_payloads)),
+                 P(AXIS), P(AXIS))
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    def _dist_join(lkeys, lvalid, rkeys, rvalid, *payloads):
+        lpay = list(payloads[:n_left_payloads])
+        rpay = list(payloads[n_left_payloads:])
+        slk, slp, slv, _ = shuffle_rows_local(lkeys, lpay, lvalid, ndev, capacity)
+        srk, srp, srv, _ = shuffle_rows_local(rkeys, rpay, rvalid, ndev, capacity)
+        li, ri, out_valid, total, overflow, _cnt = join_ops.inner_join(
+            [(slk, jnp.zeros_like(slv))], slv,
+            [(srk, jnp.zeros_like(srv))], srv,
+            join_capacity,
+        )
+        safe_l = jnp.clip(li, 0, slk.shape[0] - 1)
+        safe_r = jnp.clip(ri, 0, srk.shape[0] - 1)
+        out_key = slk[safe_l]
+        out_lpay = tuple(p[safe_l] for p in slp)
+        out_rpay = tuple(p[safe_r] for p in srp)
+        return out_key, out_lpay, out_rpay, out_valid, total.reshape(1)
+
+    return jax.jit(_dist_join)
+
+
+def make_dist_join_groupby(mesh, capacity: int, join_capacity: int,
+                           max_groups: int, agg_funcs: Sequence[str]):
+    """The fused flagship step: distributed shuffle join feeding a group-by —
+    BASELINE config 5's compute shape (join + aggregate over shuffled data),
+    one shard_map program so XLA overlaps all-to-all with local compute.
+
+    fn(lkeys, lvalid, lval, rkeys, rvalid, rval) ->
+    (gkeys, [aggs...], gvalid) — grouped by join key."""
+    ndev = mesh.devices.size
+
+    in_specs = (P(AXIS),) * 6
+    out_specs = (P(AXIS), tuple(P(AXIS) for _ in agg_funcs), P(AXIS))
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    def _step(lkeys, lvalid, lval, rkeys, rvalid, rval):
+        slk, (slval,), slv, _ = shuffle_rows_local(lkeys, [lval], lvalid, ndev, capacity)
+        srk, (srval,), srv, _ = shuffle_rows_local(rkeys, [rval], rvalid, ndev, capacity)
+        li, ri, out_valid, total, _of, _cnt = join_ops.inner_join(
+            [(slk, jnp.zeros_like(slv))], slv,
+            [(srk, jnp.zeros_like(srv))], srv,
+            join_capacity,
+        )
+        safe_l = jnp.clip(li, 0, slk.shape[0] - 1)
+        safe_r = jnp.clip(ri, 0, srk.shape[0] - 1)
+        jkey = slk[safe_l]
+        jval = slval[safe_l] * srval[safe_r]  # joined measure
+        specs = [{"func": f, "values": jval, "valid": None, "distinct": False,
+                  "acc_dtype": jnp.int64 if f == "count" else jval.dtype}
+                 for f in agg_funcs]
+        group_codes, results, n_groups, _ = agg_ops.groupby_aggregate(
+            [(jkey, jnp.zeros_like(out_valid))], out_valid, specs, max_groups,
+            n_rows=jkey.shape[0],
+        )
+        gvalid = jnp.arange(max_groups) < n_groups
+        return group_codes[0][0], tuple(r[0] for r in results), gvalid
+
+    return jax.jit(_step)
