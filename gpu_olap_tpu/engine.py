@@ -88,14 +88,27 @@ class OlapEngine:
             else:
                 from .executor.device import DeviceUnsupported
 
-                try:
-                    batch = self._get_device_executor().execute(physical)
-                except DeviceUnsupported as e:
-                    logger.info("device path unsupported (%s); CPU fallback", e)
-                    from .executor.cpu import CpuExecutor
+                batch = None
+                if self.config.mesh_shape and self.config.mesh_shape[0] > 1:
+                    from .parallel.dist_executor import (
+                        DistributedExecutor, NotDistributable,
+                    )
 
-                    backend = "cpu-fallback"
-                    batch = CpuExecutor(self.catalog, self.config).execute(physical)
+                    try:
+                        batch = self._get_distributed_executor().execute(physical)
+                        backend = "distributed"
+                    except NotDistributable as e:
+                        logger.info("plan not distributable (%s); "
+                                    "single-device path", e)
+                if batch is None:
+                    try:
+                        batch = self._get_device_executor().execute(physical)
+                    except DeviceUnsupported as e:
+                        logger.info("device path unsupported (%s); CPU fallback", e)
+                        from .executor.cpu import CpuExecutor
+
+                        backend = "cpu-fallback"
+                        batch = CpuExecutor(self.catalog, self.config).execute(physical)
         logger.info("query executed: plan %.2f ms, exec %.2f ms, %d rows",
                     t_plan.seconds * 1e3, t_exec.seconds * 1e3, batch.num_rows)
         return QueryResult(batch, {
@@ -142,6 +155,16 @@ class OlapEngine:
 
             self._device_executor = DeviceExecutor(self.catalog, self.config)
         return self._device_executor
+
+    def _get_distributed_executor(self):
+        if getattr(self, "_dist_executor", None) is None:
+            from .executor.device import _Interpreter
+            from .parallel.dist_executor import DistributedExecutor
+
+            self._dist_executor = DistributedExecutor(
+                self.catalog, self.config, _Interpreter
+            )
+        return self._dist_executor
 
 
 class TpuOlapEngine(OlapEngine):

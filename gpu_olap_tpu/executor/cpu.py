@@ -42,6 +42,9 @@ class CpuExecutor:
     def __init__(self, catalog, config: EngineConfig):
         self.catalog = catalog
         self.config = config
+        # pre-computed results for subtrees (used by the distributed executor
+        # to run post-aggregate operators on gathered group results)
+        self.leaf_results: dict = {}
 
     def execute(self, plan: P.PhysicalPlan) -> ColumnBatch:
         batch = self._exec(plan)
@@ -50,6 +53,9 @@ class CpuExecutor:
 
     # ------------------------------------------------------------------
     def _exec(self, plan: P.PhysicalPlan) -> ColumnBatch:
+        pre = self.leaf_results.get(id(plan))
+        if pre is not None:
+            return pre
         if isinstance(plan, P.TpuTableScan):
             return self._scan(plan)
         if isinstance(plan, P.TpuFilter):

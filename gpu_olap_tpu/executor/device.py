@@ -107,6 +107,18 @@ class DeviceExecutor:
     # public entry
     # ------------------------------------------------------------------
     def execute(self, plan: P.PhysicalPlan) -> ColumnBatch:
+        if self._has_uncached_scan(plan):
+            # out-of-core: stream chunks through a partial-aggregate pipeline
+            from .streaming import NotStreamable, StreamingAggregator
+
+            try:
+                return StreamingAggregator(
+                    self.catalog, self.config, _Interpreter
+                ).execute(plan)
+            except NotStreamable as e:
+                logger.warning(
+                    "plan not streamable (%s); loading table fully "
+                    "(may exceed HBM for very large tables)", e)
         tables = self._device_tables(plan)
         for attempt in range(8):
             fn, meta = self._get_compiled(plan, tables)
@@ -123,6 +135,19 @@ class DeviceExecutor:
                 logger.warning("device capacity overflow at %s: growing %d -> %d",
                                key, cur, self._cap_override[key])
         raise RuntimeError("join/aggregate capacity kept overflowing after 8 growths")
+
+    def _has_uncached_scan(self, plan: P.PhysicalPlan) -> bool:
+        found = False
+
+        def walk(p):
+            nonlocal found
+            if isinstance(p, P.TpuTableScan) and not self.catalog.is_cached(p.table_name):
+                found = True
+            for k in p.inputs():
+                walk(k)
+
+        walk(plan)
+        return found
 
     # ------------------------------------------------------------------
     # tables -> device
@@ -735,9 +760,8 @@ def _gather_col(c: DevCol, idx, out_valid) -> DevCol:
 
 
 def _decode_key(code, null, dtype: DType, dictionary) -> DevCol:
-    if dtype is DType.FLOAT64:
-        data = jax.lax.bitcast_convert_type(code, jnp.float64)
-    elif dtype is DType.BOOL:
+    # key operands keep their own space (float keys stay f64), so no bitcast
+    if dtype is DType.BOOL:
         data = code.astype(bool)
     else:
         data = code

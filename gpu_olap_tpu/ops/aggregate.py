@@ -103,7 +103,10 @@ def groupby_aggregate(
     for _ in keys:
         null_s, code_s = sorted_keys[ki], sorted_keys[ki + 1]
         ki += 2
-        out_code = _segment(jnp.where(in_prefix, code_s, INT64_MIN), gid, nseg, "max")[:max_groups]
+        from .dtypes import key_fill
+
+        fill = jnp.asarray(key_fill(code_s.dtype), dtype=code_s.dtype)
+        out_code = _segment(jnp.where(in_prefix, code_s, fill), gid, nseg, "max")[:max_groups]
         out_null = _segment(jnp.where(in_prefix, null_s, 0), gid, nseg, "max")[:max_groups]
         group_codes.append((out_code, out_null.astype(bool)))
 

@@ -18,34 +18,32 @@ INT64_MAX = np.int64(np.iinfo(np.int64).max)
 
 
 def order_code(data, np_kind: str):
-    """Map a column to int64 codes whose ascending order == SQL ordering.
+    """Map a column to a sort operand whose ascending order == SQL ordering.
 
-    Floats use the sign-flip bit trick (monotone float64 -> int64); ints/bools
-    pass through.  Codes are clipped by 2 so descending negation and null
-    sentinels cannot overflow (same contract as the CPU oracle)."""
+    Floats stay in float space — ``lax.sort``'s total-order comparator handles
+    f64 natively, and the TPU X64-rewrite pass cannot lower f64<->s64
+    bitcasts.  Ints are clipped by 2 so descending negation and null sentinels
+    cannot overflow (same contract as the CPU oracle)."""
     if np_kind == "f":
-        bits = jax.lax.bitcast_convert_type(data.astype(jnp.float64), jnp.int64)
-        codes = jnp.where(bits >= 0, bits, jnp.bitwise_xor(~bits, INT64_MIN))
-    elif np_kind == "b":
-        codes = data.astype(jnp.int64)
-    else:
-        codes = data.astype(jnp.int64)
+        return data.astype(jnp.float64)
+    codes = data.astype(jnp.int64)
     return jnp.clip(codes, INT64_MIN + 2, INT64_MAX - 2)
 
 
 def key_code(data, validity, np_kind: str):
-    """Exact join/group key encoding: (code, null_flag).
+    """Exact join/group key encoding: (operand, null_flag).
 
-    Unlike ``order_code`` this must be collision-free, so no clipping: floats
-    are bit-cast (with -0.0 normalized to 0.0 and NaN nulled), ints pass
-    through.  Nullness is carried as a separate flag array so INT64_MIN stays a
-    legal key value (the reference sentinel-encodes and loses this,
-    ``record_batch_convert.rs:102-110``)."""
+    The operand keeps its own space (int64 for ints/codes, float64 for floats
+    with -0.0 normalized and NaN nulled) — sort/searchsorted/boundary
+    comparisons are exact in either space, and no bitcast is needed (the TPU
+    X64-rewrite cannot lower f64<->s64 bitcasts).  Nullness is a separate flag
+    array so every value stays a legal key (the reference sentinel-encodes and
+    loses this, ``record_batch_convert.rs:102-110``)."""
     if np_kind == "f":
         f = data.astype(jnp.float64)
         f = jnp.where(f == 0.0, 0.0, f)  # -0.0 == 0.0 in SQL
         isnan = jnp.isnan(f)
-        codes = jax.lax.bitcast_convert_type(jnp.where(isnan, 0.0, f), jnp.int64)
+        codes = jnp.where(isnan, 0.0, f)
         nulls = isnan if validity is None else (isnan | ~validity)
     else:
         codes = data.astype(jnp.int64)
@@ -53,6 +51,20 @@ def key_code(data, validity, np_kind: str):
     if nulls is None:
         nulls = jnp.zeros(data.shape, dtype=jnp.bool_)
     return codes, nulls
+
+
+def key_fill(dtype) -> object:
+    """Neutral fill for unused key slots, matching the operand space."""
+    import numpy as _np
+
+    return _np.float64(-_np.inf) if _np.dtype(dtype).kind == "f" else INT64_MIN
+
+
+def key_top(dtype) -> object:
+    """Sentinel greater than every valid key, matching the operand space."""
+    import numpy as _np
+
+    return _np.float64(_np.inf) if _np.dtype(dtype).kind == "f" else INT64_MAX
 
 
 def masked_fill(data, mask, fill):

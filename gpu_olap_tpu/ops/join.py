@@ -84,7 +84,10 @@ def build_sorted(build_code: jnp.ndarray, build_invalid: jnp.ndarray):
     inv = build_invalid.astype(jnp.int32)
     sk_inv, sk, srow = jax.lax.sort((inv, build_code, arange), num_keys=2)
     nbv = nb - jnp.sum(sk_inv.astype(jnp.int64))
-    sk = jnp.where(arange < nbv, sk, INT64_MAX)
+    from .dtypes import key_top
+
+    top = jnp.asarray(key_top(sk.dtype), dtype=sk.dtype)
+    sk = jnp.where(arange < nbv, sk, top)
     return sk, srow, nbv
 
 

@@ -1,0 +1,88 @@
+"""Engine-level distributed execution: SQL plans over the 8-device mesh must
+match the single-device oracle exactly, with HAVING/ORDER BY/LIMIT applied on
+the gathered group results."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from conftest import make_engine
+
+
+@pytest.fixture(scope="module")
+def engines():
+    rng = np.random.default_rng(11)
+    n = 40_000
+    data = {
+        "k": rng.integers(0, 500, n).astype(np.int64),
+        "v": rng.integers(-50, 1000, n).astype(np.int64),
+        "f": rng.normal(10.0, 5.0, n),
+        "year": rng.integers(2020, 2026, n).astype(np.int64),
+    }
+    dist = make_engine("device", mesh_shape=(8,), min_shape_bucket=1024)
+    dist.register("t", data)
+    cpu = make_engine("cpu")
+    cpu.catalog = dist.catalog
+    return dist, cpu
+
+
+QUERIES = [
+    "SELECT k, COUNT(*) AS n, SUM(v) AS s FROM t GROUP BY k",
+    "SELECT k, SUM(v) AS s, MIN(v) AS mn, MAX(f) AS mx, AVG(f) AS a FROM t GROUP BY k",
+    "SELECT k, SUM(v) AS s FROM t WHERE v > 100 GROUP BY k",
+    "SELECT k, SUM(v * 2 + 1) AS s FROM t WHERE year = 2024 GROUP BY k",
+    "SELECT COUNT(*) AS n, SUM(v) AS s FROM t WHERE v > 500",
+    "SELECT k, SUM(v) AS s FROM t GROUP BY k HAVING s > 5000 ORDER BY s DESC LIMIT 20",
+    "SELECT year, k, COUNT(*) AS n FROM t GROUP BY year, k",
+]
+
+
+@pytest.mark.parametrize("sql", QUERIES, ids=range(len(QUERIES)))
+def test_distributed_matches_oracle(engines, sql):
+    dist, cpu = engines
+    got = dist.query(sql)
+    assert got.metrics["backend"] == "distributed", got.metrics
+    exp = cpu.query(sql)
+    g = got.to_pandas()
+    e = exp.to_pandas()
+    sort_cols = list(g.columns)
+    if "ORDER BY" not in sql:
+        g = g.sort_values(sort_cols).reset_index(drop=True)
+        e = e.sort_values(sort_cols).reset_index(drop=True)
+    assert len(g) == len(e)
+    for col in g.columns:
+        if g[col].dtype.kind == "f":
+            np.testing.assert_allclose(g[col].to_numpy(), e[col].to_numpy(),
+                                       rtol=1e-9, err_msg=f"{sql} :: {col}")
+        else:
+            np.testing.assert_array_equal(g[col].to_numpy(), e[col].to_numpy(),
+                                          err_msg=f"{sql} :: {col}")
+
+
+def test_non_distributable_falls_back(engines):
+    dist, _ = engines
+    r = dist.query("SELECT v FROM t ORDER BY v DESC LIMIT 3")
+    assert r.metrics["backend"] == "device"  # raw rows, not an agg pipeline
+    assert r.num_rows == 3
+
+
+def test_distributed_scaling_structure(engines):
+    """Rows/s scaling harness structure: same query on 1 vs 8 devices
+    (efficiency numbers are only meaningful on real multi-chip hardware)."""
+    dist, _ = engines
+    import time
+
+    sql = "SELECT k, SUM(v) AS s FROM t GROUP BY k"
+    dist.query(sql)  # warm
+    t0 = time.perf_counter()
+    dist.query(sql)
+    t8 = time.perf_counter() - t0
+
+    single = make_engine("device")
+    single.catalog = dist.catalog
+    single.query(sql)
+    t0 = time.perf_counter()
+    single.query(sql)
+    t1 = time.perf_counter() - t0
+    # structural check only: both paths executed and returned in finite time
+    assert t8 > 0 and t1 > 0
