@@ -31,6 +31,10 @@ class TableMetadata:
     location: Optional[str]       # parquet path, or None for in-memory
     row_count: int
     data_cache: Optional[ColumnBatch]  # eagerly cached host batch
+    # per-column (min, max) statistics for integer columns — zone-map style
+    # metadata driving the int32 small-key fast path on device (int64 is
+    # emulated on TPU, so narrow keys sort/probe ~2x faster)
+    stats: Optional[dict] = None
 
 
 class Catalog:
@@ -44,16 +48,21 @@ class Catalog:
         """Register a Parquet table (``catalog.rs:32-73``)."""
         schema, row_count = arrow_io.read_parquet_schema(path)
         cache = None
+        stats = None
         if row_count < self._cache_threshold:
             cache = arrow_io.read_parquet(path)
+            stats = compute_stats(cache)
         with self._lock:
-            self._tables[name] = TableMetadata(schema, path, row_count, cache)
+            self._tables[name] = TableMetadata(schema, path, row_count, cache,
+                                               stats)
         logger.info("loaded table %r from %s (%d rows, cached=%s)",
                     name, path, row_count, cache is not None)
 
     def register_batch(self, name: str, batch: ColumnBatch) -> None:
+        stats = compute_stats(batch)
         with self._lock:
-            self._tables[name] = TableMetadata(batch.schema, None, batch.num_rows, batch)
+            self._tables[name] = TableMetadata(batch.schema, None,
+                                               batch.num_rows, batch, stats)
 
     def register_pandas(self, name: str, df) -> None:
         self.register_batch(name, arrow_io.batch_from_pandas(df))
@@ -104,6 +113,9 @@ class Catalog:
     def get_table_location(self, name: str) -> Optional[str]:
         return self._meta(name).location
 
+    def get_stats(self, name: str) -> Optional[dict]:
+        return self._meta(name).stats
+
     def get_row_count(self, name: str) -> int:
         return self._meta(name).row_count
 
@@ -116,3 +128,23 @@ class Catalog:
     def drop_table(self, name: str) -> None:
         with self._lock:
             self._tables.pop(name, None)
+
+
+def compute_stats(batch: ColumnBatch) -> dict:
+    """Zone-map style per-column (min, max) for integer-typed columns."""
+    import numpy as np
+
+    from .interop.columnar import DType
+
+    stats = {}
+    for f, c in zip(batch.schema, batch.columns):
+        if f.dtype.numpy_dtype != np.dtype(np.int64) or batch.num_rows == 0:
+            continue
+        data = np.asarray(c.data)
+        if c.validity is not None:
+            valid = np.asarray(c.validity)
+            if not valid.any():
+                continue
+            data = data[valid]
+        stats[f.name] = (int(data.min()), int(data.max()))
+    return stats

@@ -57,6 +57,10 @@ class DevCol:
     data: jnp.ndarray
     validity: Optional[jnp.ndarray]
     dictionary: Optional[np.ndarray] = None  # host-side, trace-time constant
+    # zone-map statistics say every value fits int32 (with sentinel headroom):
+    # join/sort/group keys on this column take the narrow fast path, since
+    # int64 compute is emulated on TPU
+    int32_ok: bool = False
 
 
 @dataclasses.dataclass
@@ -184,12 +188,23 @@ class DeviceExecutor:
                     entry.append(None)
                 arrays.append(tuple(entry))
                 dicts.append(col.dictionary)
+            stats = self.catalog.get_stats(name) or {}
+            int32_ok = []
+            lo32 = np.iinfo(np.int32).min + 4
+            hi32 = np.iinfo(np.int32).max - 4
+            for f, col in zip(host.schema, host.columns):
+                if col.dictionary is not None:
+                    int32_ok.append(len(col.dictionary) < hi32)
+                    continue
+                st = stats.get(f.name)
+                int32_ok.append(st is not None and lo32 < st[0] and st[1] < hi32)
             entry = {
                 "arrays": arrays,
                 "dicts": dicts,
                 "schema": host.schema,
                 "num_rows": host.num_rows,
                 "capacity": cap,
+                "int32_ok": int32_ok,
             }
             self._table_cache[name] = (id(host), entry)
             out[name] = entry
@@ -202,7 +217,8 @@ class DeviceExecutor:
         sig = tuple(
             (name, t["capacity"], t["num_rows"],
              tuple((str(a[0].dtype), a[1] is not None) for a in t["arrays"]),
-             tuple(id(d) if d is not None else None for d in t["dicts"]))
+             tuple(id(d) if d is not None else None for d in t["dicts"]),
+             tuple(t.get("int32_ok", ())))
             for name, t in sorted(tables.items())
         )
         caps_key = tuple(sorted(self._cap_override.items()))
@@ -310,9 +326,11 @@ class _Interpreter:
         arrays = self.tables_arrays[plan.table_name]
         indices = plan.projection if plan.projection is not None else range(len(arrays))
         cols = []
+        flags = tmeta.get("int32_ok")
         for i in indices:
             data, validity = arrays[i]
-            cols.append(DevCol(data, validity, tmeta["dicts"][i]))
+            cols.append(DevCol(data, validity, tmeta["dicts"][i],
+                               bool(flags[i]) if flags else False))
         cap = tmeta["capacity"]
         n = tmeta["num_rows"]
         row_valid = None
@@ -331,7 +349,8 @@ class _Interpreter:
         cols = []
         for e in plan.exprs:
             data, valid, dictionary = self.eval_expr(e, batch)
-            cols.append(DevCol(data, valid, dictionary))
+            ok = isinstance(e, P.ColumnRef) and batch.cols[e.index].int32_ok
+            cols.append(DevCol(data, valid, dictionary, ok))
         return DevBatch(plan.schema, cols, batch.capacity, batch.row_valid)
 
     def _join(self, plan: P.TpuHashJoin, path) -> DevBatch:
@@ -346,6 +365,16 @@ class _Interpreter:
         rkeys = [self._key_of(k, right) for k in plan.right_keys]
         # unify dictionaries for string key pairs
         lkeys, rkeys = self._unify_string_keys(plan, left, right, lkeys, rkeys)
+        # both sides of each key pair must share an operand dtype
+        unified = []
+        for (lc, ln), (rc, rn) in zip(lkeys, rkeys):
+            if lc.dtype != rc.dtype:
+                common = jnp.promote_types(lc.dtype, rc.dtype)
+                lc = lc.astype(common)
+                rc = rc.astype(common)
+            unified.append(((lc, ln), (rc, rn)))
+        lkeys = [u[0] for u in unified]
+        rkeys = [u[1] for u in unified]
 
         cap_key = ("join", path)
         capacity = self.cap_override.get(
@@ -385,7 +414,15 @@ class _Interpreter:
     def _key_of(self, expr: P.PhysExpr, batch: DevBatch):
         data, valid, dictionary = self.eval_expr(expr, batch)
         code, null = key_code(data, valid, _np_kind(expr.dtype))
+        if self._int32_ok(expr, batch) and code.dtype == jnp.int64:
+            code = code.astype(jnp.int32)  # narrow fast path (stats-backed)
         return {"code": code, "null": null, "dict": dictionary, "dtype": expr.dtype}
+
+    @staticmethod
+    def _int32_ok(expr: P.PhysExpr, batch: DevBatch) -> bool:
+        return (isinstance(expr, P.ColumnRef)
+                and batch.cols[expr.index].int32_ok
+                and expr.dtype is not DType.FLOAT64)
 
     def _unify_string_keys(self, plan, left, right, lkeys, rkeys):
         lout, rout = [], []
@@ -463,6 +500,8 @@ class _Interpreter:
         out = []
         for k in keys:
             data, valid, dictionary = self.eval_expr(k.expr, batch)
+            if self._int32_ok(k.expr, batch) and data.dtype == jnp.int64:
+                data = data.astype(jnp.int32)
             codes = order_code(data, _np_kind(k.expr.dtype))
             nulls = None if valid is None else ~valid
             out.append({"codes": codes, "nulls": nulls,
@@ -756,13 +795,16 @@ def _gather_col(c: DevCol, idx, out_valid) -> DevCol:
         valid = ~pad
     else:
         valid = c.validity[safe] & ~pad
-    return DevCol(data, valid, c.dictionary)
+    return DevCol(data, valid, c.dictionary, c.int32_ok)
 
 
 def _decode_key(code, null, dtype: DType, dictionary) -> DevCol:
-    # key operands keep their own space (float keys stay f64), so no bitcast
+    # key operands keep their own space (float keys stay f64), so no bitcast;
+    # int32 fast-path operands widen back to the schema's physical int64
     if dtype is DType.BOOL:
         data = code.astype(bool)
+    elif code.dtype == jnp.int32:
+        data = code.astype(jnp.int64)
     else:
         data = code
     return DevCol(data, ~null, dictionary)

@@ -23,9 +23,13 @@ def order_code(data, np_kind: str):
     Floats stay in float space — ``lax.sort``'s total-order comparator handles
     f64 natively, and the TPU X64-rewrite pass cannot lower f64<->s64
     bitcasts.  Ints are clipped by 2 so descending negation and null sentinels
-    cannot overflow (same contract as the CPU oracle)."""
+    cannot overflow (same contract as the CPU oracle).  int32 operands (the
+    small-key fast path — int64 is emulated on TPU) keep their width."""
     if np_kind == "f":
         return data.astype(jnp.float64)
+    if data.dtype == jnp.int32:
+        lo, hi = np.iinfo(np.int32).min, np.iinfo(np.int32).max
+        return jnp.clip(data, lo + 2, hi - 2)
     codes = data.astype(jnp.int64)
     return jnp.clip(codes, INT64_MIN + 2, INT64_MAX - 2)
 
@@ -57,14 +61,20 @@ def key_fill(dtype) -> object:
     """Neutral fill for unused key slots, matching the operand space."""
     import numpy as _np
 
-    return _np.float64(-_np.inf) if _np.dtype(dtype).kind == "f" else INT64_MIN
+    d = _np.dtype(dtype)
+    if d.kind == "f":
+        return _np.float64(-_np.inf)
+    return _np.iinfo(d).min
 
 
 def key_top(dtype) -> object:
     """Sentinel greater than every valid key, matching the operand space."""
     import numpy as _np
 
-    return _np.float64(_np.inf) if _np.dtype(dtype).kind == "f" else INT64_MAX
+    d = _np.dtype(dtype)
+    if d.kind == "f":
+        return _np.float64(_np.inf)
+    return _np.iinfo(d).max
 
 
 def masked_fill(data, mask, fill):
