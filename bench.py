@@ -37,6 +37,7 @@ def _engine(batch_rows: int):
         join_expansion=1.25,
         max_groups=1 << 22,
         min_shape_bucket=1 << 16,
+        enable_cache=False,  # measure execution, not the result cache
     )
     return OlapEngine(cfg)
 

@@ -42,6 +42,16 @@ class Catalog:
         self._tables: Dict[str, TableMetadata] = {}
         self._lock = threading.Lock()
         self._cache_threshold = cache_threshold_rows
+        # monotonically increasing per-table version (result-cache invalidation)
+        self._versions: Dict[str, int] = {}
+        self._version_counter = 0
+
+    def _bump(self, name: str) -> None:
+        self._version_counter += 1
+        self._versions[name] = self._version_counter
+
+    def get_version(self, name: str) -> int:
+        return self._versions.get(name, 0)
 
     # -- registration ------------------------------------------------------
     def load_table(self, name: str, path: str) -> None:
@@ -55,6 +65,7 @@ class Catalog:
         with self._lock:
             self._tables[name] = TableMetadata(schema, path, row_count, cache,
                                                stats)
+            self._bump(name)
         logger.info("loaded table %r from %s (%d rows, cached=%s)",
                     name, path, row_count, cache is not None)
 
@@ -63,6 +74,7 @@ class Catalog:
         with self._lock:
             self._tables[name] = TableMetadata(batch.schema, None,
                                                batch.num_rows, batch, stats)
+            self._bump(name)
 
     def register_pandas(self, name: str, df) -> None:
         self.register_batch(name, arrow_io.batch_from_pandas(df))
@@ -128,6 +140,7 @@ class Catalog:
     def drop_table(self, name: str) -> None:
         with self._lock:
             self._tables.pop(name, None)
+            self._bump(name)
 
 
 def compute_stats(batch: ColumnBatch) -> dict:

@@ -42,6 +42,10 @@ class EngineConfig:
     # Radix partition fan-out for partitioned joins / shuffles (reference uses
     # 8-bit radix -> 256 partitions, join_kernels.cuh:22-23).
     radix_bits: int = 8
+    # Direct-address join: when zone-map stats bound the build key range to at
+    # most this many distinct slots, probe via a dense offset table (2 gathers
+    # per probe row) instead of binary search.
+    direct_join_max_range: int = 1 << 26
 
     # --- distribution ---
     mesh_shape: Optional[Tuple[int, ...]] = None   # None = single device

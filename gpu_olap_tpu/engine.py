@@ -30,6 +30,11 @@ class OlapEngine:
         self.catalog = Catalog(self.config.table_cache_threshold_rows)
         self.metrics = GLOBAL_METRICS
         self._device_executor = None
+        # query result cache keyed by (sql, referenced table versions) —
+        # the reference documents this but never uses enable_cache
+        # (PROJECT_SUMMARY.md:200, lib.rs:29-30)
+        self._result_cache: dict = {}
+        self._result_cache_max = 128
 
     # -- table management (lib.rs:71-78) -----------------------------------
     def load_table(self, name: str, path: str) -> None:
@@ -79,6 +84,16 @@ class OlapEngine:
     def execute_query(self, sql: str) -> QueryResult:
         with Timer() as t_plan:
             physical = self.plan_query(sql)
+        cache_key = None
+        if self.config.enable_cache:
+            tables = self._referenced_tables(physical)
+            cache_key = (sql, tuple((t, self.catalog.get_version(t))
+                                    for t in tables))
+            hit = self._result_cache.get(cache_key)
+            if hit is not None:
+                return QueryResult(hit, {"plan_seconds": t_plan.seconds,
+                                         "exec_seconds": 0.0,
+                                         "backend": "result-cache"})
         backend = self._resolve_backend()
         with Timer() as t_exec:
             if backend == "cpu":
@@ -111,6 +126,10 @@ class OlapEngine:
                         batch = CpuExecutor(self.catalog, self.config).execute(physical)
         logger.info("query executed: plan %.2f ms, exec %.2f ms, %d rows",
                     t_plan.seconds * 1e3, t_exec.seconds * 1e3, batch.num_rows)
+        if cache_key is not None:
+            if len(self._result_cache) >= self._result_cache_max:
+                self._result_cache.pop(next(iter(self._result_cache)))
+            self._result_cache[cache_key] = batch
         return QueryResult(batch, {
             "plan_seconds": t_plan.seconds,
             "exec_seconds": t_exec.seconds,
@@ -139,6 +158,21 @@ class OlapEngine:
             self.catalog.drop_table("df")
 
     # -- internals ---------------------------------------------------------
+    @staticmethod
+    def _referenced_tables(physical) -> list:
+        from .plan.physical import TpuTableScan
+
+        names = set()
+
+        def walk(p):
+            if isinstance(p, TpuTableScan):
+                names.add(p.table_name)
+            for k in p.inputs():
+                walk(k)
+
+        walk(physical)
+        return sorted(names)
+
     def _resolve_backend(self) -> str:
         if self.config.backend != "auto":
             return self.config.backend

@@ -61,6 +61,8 @@ class DevCol:
     # join/sort/group keys on this column take the narrow fast path, since
     # int64 compute is emulated on TPU
     int32_ok: bool = False
+    # (min, max) zone-map range when known — enables direct-address joins
+    value_range: Optional[Tuple[int, int]] = None
 
 
 @dataclasses.dataclass
@@ -190,14 +192,17 @@ class DeviceExecutor:
                 dicts.append(col.dictionary)
             stats = self.catalog.get_stats(name) or {}
             int32_ok = []
+            ranges = []
             lo32 = np.iinfo(np.int32).min + 4
             hi32 = np.iinfo(np.int32).max - 4
             for f, col in zip(host.schema, host.columns):
                 if col.dictionary is not None:
                     int32_ok.append(len(col.dictionary) < hi32)
+                    ranges.append((0, len(col.dictionary) - 1))
                     continue
                 st = stats.get(f.name)
                 int32_ok.append(st is not None and lo32 < st[0] and st[1] < hi32)
+                ranges.append(st)
             entry = {
                 "arrays": arrays,
                 "dicts": dicts,
@@ -205,6 +210,7 @@ class DeviceExecutor:
                 "num_rows": host.num_rows,
                 "capacity": cap,
                 "int32_ok": int32_ok,
+                "ranges": ranges,
             }
             self._table_cache[name] = (id(host), entry)
             out[name] = entry
@@ -327,10 +333,12 @@ class _Interpreter:
         indices = plan.projection if plan.projection is not None else range(len(arrays))
         cols = []
         flags = tmeta.get("int32_ok")
+        ranges = tmeta.get("ranges")
         for i in indices:
             data, validity = arrays[i]
             cols.append(DevCol(data, validity, tmeta["dicts"][i],
-                               bool(flags[i]) if flags else False))
+                               bool(flags[i]) if flags else False,
+                               ranges[i] if ranges else None))
         cap = tmeta["capacity"]
         n = tmeta["num_rows"]
         row_valid = None
@@ -349,8 +357,10 @@ class _Interpreter:
         cols = []
         for e in plan.exprs:
             data, valid, dictionary = self.eval_expr(e, batch)
-            ok = isinstance(e, P.ColumnRef) and batch.cols[e.index].int32_ok
-            cols.append(DevCol(data, valid, dictionary, ok))
+            src = batch.cols[e.index] if isinstance(e, P.ColumnRef) else None
+            cols.append(DevCol(data, valid, dictionary,
+                               src.int32_ok if src else False,
+                               src.value_range if src else None))
         return DevBatch(plan.schema, cols, batch.capacity, batch.row_valid)
 
     def _join(self, plan: P.TpuHashJoin, path) -> DevBatch:
@@ -363,6 +373,18 @@ class _Interpreter:
 
         lkeys = [self._key_of(k, left) for k in plan.left_keys]
         rkeys = [self._key_of(k, right) for k in plan.right_keys]
+        # direct-address probe eligibility: single key, stats-bounded build
+        # range (strings qualify only when both sides share a dictionary)
+        build_range = None
+        if len(rkeys) == 1 and rkeys[0]["range"] is not None:
+            lk0, rk0 = lkeys[0], rkeys[0]
+            rng = rk0["range"]
+            span = int(rng[1]) - int(rng[0]) + 1
+            strings_ok = (rk0["dtype"] is not DType.STRING
+                          or _dicts_equal(lk0["dict"], rk0["dict"]))
+            if (0 < span <= self.config.direct_join_max_range
+                    and rk0["dtype"] is not DType.FLOAT64 and strings_ok):
+                build_range = (int(rng[0]), int(rng[1]))
         # unify dictionaries for string key pairs
         lkeys, rkeys = self._unify_string_keys(plan, left, right, lkeys, rkeys)
         # both sides of each key pair must share an operand dtype
@@ -383,7 +405,8 @@ class _Interpreter:
         self.meta["capacities"][cap_key] = capacity
 
         li, ri, out_valid, total, overflow, cnt = join_ops.inner_join(
-            lkeys, left.row_valid, rkeys, right.row_valid, capacity
+            lkeys, left.row_valid, rkeys, right.row_valid, capacity,
+            build_range=build_range,
         )
         self._push_flag(cap_key, overflow)
 
@@ -416,7 +439,10 @@ class _Interpreter:
         code, null = key_code(data, valid, _np_kind(expr.dtype))
         if self._int32_ok(expr, batch) and code.dtype == jnp.int64:
             code = code.astype(jnp.int32)  # narrow fast path (stats-backed)
-        return {"code": code, "null": null, "dict": dictionary, "dtype": expr.dtype}
+        vrange = (batch.cols[expr.index].value_range
+                  if isinstance(expr, P.ColumnRef) else None)
+        return {"code": code, "null": null, "dict": dictionary,
+                "dtype": expr.dtype, "range": vrange}
 
     @staticmethod
     def _int32_ok(expr: P.PhysExpr, batch: DevBatch) -> bool:
@@ -795,7 +821,7 @@ def _gather_col(c: DevCol, idx, out_valid) -> DevCol:
         valid = ~pad
     else:
         valid = c.validity[safe] & ~pad
-    return DevCol(data, valid, c.dictionary, c.int32_ok)
+    return DevCol(data, valid, c.dictionary, c.int32_ok, c.value_range)
 
 
 def _decode_key(code, null, dtype: DType, dictionary) -> DevCol:

@@ -122,9 +122,34 @@ def expand_matches(cnt, lo, sorted_rows, capacity: int):
     return pidx, brow, out_valid, total, overflow
 
 
+def direct_probe(sorted_keys, sorted_rows, n_build_valid, kmin: int, kmax: int,
+                 probe_code, probe_invalid):
+    """Direct-address probe: zone-map stats bound the build key range, so the
+    per-key [lo, hi) match ranges are precomputed into a dense offset table
+    and probing is two gathers per row instead of a binary search.
+
+    This is the TPU analogue of the reference's O(1) hash-table probe
+    (``join_kernels.cuh:115-166``) — direct addressing instead of hashing, so
+    it is exact and collision-free.  ``kmin``/``kmax`` are static (host)
+    bounds from catalog statistics."""
+    span = int(kmax) - int(kmin) + 1
+    dt = sorted_keys.dtype
+    iota = (jnp.arange(span + 1, dtype=jnp.int64) + jnp.asarray(int(kmin), jnp.int64)).astype(dt)
+    lo_tab = jnp.searchsorted(sorted_keys, iota, side="left", method="sort")
+    lo_tab = jnp.minimum(lo_tab, n_build_valid).astype(jnp.int64)
+    rel = probe_code.astype(jnp.int64) - int(kmin)
+    in_range = (rel >= 0) & (rel < span) & (~probe_invalid)
+    rel_c = jnp.clip(rel, 0, span - 1)
+    lo = lo_tab[rel_c]
+    hi = lo_tab[rel_c + 1]
+    cnt = jnp.where(in_range, hi - lo, 0)
+    return lo, cnt
+
+
 def inner_join(
     left_keys, left_rowvalid, right_keys, right_rowvalid, capacity: int,
     single_key_fast: bool = True,
+    build_range=None,
 ):
     """Inner equi-join.  Probe = left, build = right.
 
@@ -133,7 +158,11 @@ def inner_join(
         left_keys, left_rowvalid, right_keys, right_rowvalid, single_key_fast
     )
     sk, srow, nbv = build_sorted(rcode, rinv)
-    lo, cnt = probe_counts(sk, nbv, lcode, linv)
+    if build_range is not None and single_key_fast and len(left_keys) == 1:
+        lo, cnt = direct_probe(sk, srow, nbv, build_range[0], build_range[1],
+                               lcode, linv)
+    else:
+        lo, cnt = probe_counts(sk, nbv, lcode, linv)
     return expand_matches(cnt, lo, srow, capacity) + (cnt,)
 
 
