@@ -2,11 +2,19 @@
 
 The reference's CUDA design is an atomicAdd shared-memory hash table
 (``aggregate_kernel.rs:1-8``, ``join_kernels.cuh:216-240``).  TPUs have no such
-atomics, so the redesign (SURVEY.md §2.2 checklist) is: lexicographic
-``lax.sort`` of the key columns, run-boundary detection, then XLA segment
-reductions — exact for multi-column int64/float/string-code keys, null keys
-forming their own group, null values skipped (SQL semantics).  Everything is
-static-shape: outputs are padded to ``max_groups`` with a returned group count.
+atomics — and XLA's scatter (the obvious replacement) serializes on duplicate
+indices — so the redesign is fully *scatter-free*:
+
+1. lexicographic ``lax.sort`` of the key columns (multi-key, nulls-as-groups);
+2. run boundaries from sorted-key adjacency; group id = prefix sum of flags;
+3. per-group [start, end] positions by binary-searching the sorted group ids;
+4. SUM/COUNT/AVG as ``cumsum`` + boundary differences (exact for int64);
+   MIN/MAX as a segmented associative scan + boundary gather;
+   COUNT(DISTINCT) as a secondary (keys, value) sort + distinct-flag cumsum;
+5. group key outputs gathered at run starts.
+
+Everything is static-shape: outputs are padded to ``max_groups`` with a
+returned group count; global aggregates reduce directly (jnp.sum/min/max).
 """
 
 from __future__ import annotations
@@ -20,7 +28,7 @@ from ..utils.jaxenv import ensure_jax
 jax = ensure_jax()
 import jax.numpy as jnp  # noqa: E402
 
-from .dtypes import INT64_MAX, INT64_MIN  # noqa: E402
+from .dtypes import INT64_MAX, INT64_MIN, key_fill  # noqa: E402
 
 
 def _sort_with_payload(key_ops: List, payloads: List):
@@ -28,18 +36,45 @@ def _sort_with_payload(key_ops: List, payloads: List):
     return res[: len(key_ops)], res[len(key_ops):]
 
 
-def _segment(values, gid, num_segments, reducer):
-    if reducer == "sum":
-        return jax.ops.segment_sum(values, gid, num_segments=num_segments)
-    if reducer == "min":
-        return jax.ops.segment_min(values, gid, num_segments=num_segments)
-    if reducer == "max":
-        return jax.ops.segment_max(values, gid, num_segments=num_segments)
-    raise AssertionError(reducer)
+def _boundaries(gid_sorted, max_groups: int):
+    """Per-group [start, end] positions in the sorted row order.
+
+    ``gid_sorted`` is nondecreasing (invalid rows hold ``max_groups`` in the
+    tail).  Empty groups get end < start."""
+    g_ids = jnp.arange(max_groups, dtype=gid_sorted.dtype)
+    starts = jnp.searchsorted(gid_sorted, g_ids, side="left")
+    ends = jnp.searchsorted(gid_sorted, g_ids, side="right") - 1
+    return starts, ends
+
+
+def _sum_by_boundary(values, starts, ends):
+    """Segment sums of a sorted array via cumsum + boundary differences."""
+    c = jnp.cumsum(values)
+    n = values.shape[0]
+    end_v = c[jnp.clip(ends, 0, n - 1)]
+    start_prev = jnp.where(starts > 0, c[jnp.clip(starts - 1, 0, n - 1)],
+                           jnp.zeros((), dtype=c.dtype))
+    out = end_v - start_prev
+    return jnp.where(ends >= starts, out, jnp.zeros((), dtype=c.dtype))
+
+
+def _seg_scan_minmax(values, gid_sorted, starts, ends, is_min: bool):
+    """Segmented min/max over sorted runs via an associative scan."""
+    fn = jnp.minimum if is_min else jnp.maximum
+
+    def op(a, b):
+        v1, g1 = a
+        v2, g2 = b
+        return (jnp.where(g1 == g2, fn(v1, v2), v2), g2)
+
+    scanned_v, _ = jax.lax.associative_scan(op, (values, gid_sorted))
+    n = values.shape[0]
+    out = scanned_v[jnp.clip(ends, 0, n - 1)]
+    return out
 
 
 def groupby_aggregate(
-    keys: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],  # (int64 code, bool is_null) per key
+    keys: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],  # (code, is_null) per key
     row_valid: Optional[jnp.ndarray],                 # bool (N,) or None
     aggs: Sequence[dict],
     max_groups: int,
@@ -60,22 +95,15 @@ def groupby_aggregate(
     else:
         first = next(a for a in aggs if a.get("values") is not None)
         n = first["values"].shape[0]
-    arange = jnp.arange(n, dtype=jnp.int64)
-    row_invalid = (
-        jnp.zeros(n, dtype=jnp.int32) if row_valid is None else (~row_valid).astype(jnp.int32)
-    )
 
     if not keys:
-        # global aggregate: single group, no sort needed
-        nvalid = n - jnp.sum(row_invalid)
-        in_prefix = row_invalid == 0  # valid rows anywhere, single group
-        gid = jnp.where(in_prefix, 0, 1)
-        results = []
-        for spec in aggs:
-            results.append(
-                _agg_one(spec, gid, in_prefix, None, 2, 1, pre_sorted=False)
-            )
-        return [], results, jnp.asarray(1, dtype=jnp.int64), jnp.asarray(False)
+        return _global_aggregate(aggs, row_valid, n)
+
+    arange = jnp.arange(n, dtype=jnp.int64)
+    row_invalid = (
+        jnp.zeros(n, dtype=jnp.int32) if row_valid is None
+        else (~row_valid).astype(jnp.int32)
+    )
 
     key_ops: List = [row_invalid]
     for code, null in keys:
@@ -84,116 +112,165 @@ def groupby_aggregate(
 
     sorted_keys, payloads = _sort_with_payload(key_ops, [arange])
     perm = payloads[0]
-    nvalid = n - jnp.sum(sorted_keys[0])
+    nvalid = n - jnp.sum(sorted_keys[0].astype(jnp.int64))
     in_prefix = arange < nvalid
 
-    newflag = arange == 0
+    newflag = (arange == 0) & in_prefix
     for op in sorted_keys[1:]:
-        newflag = newflag | jnp.concatenate([jnp.ones(1, dtype=bool), op[1:] != op[:-1]])
-    newflag = newflag & in_prefix
+        diff = jnp.concatenate([jnp.ones(1, dtype=bool), op[1:] != op[:-1]])
+        newflag = newflag | (diff & in_prefix)
     gid_raw = jnp.cumsum(newflag.astype(jnp.int64)) - 1
     n_groups = jnp.sum(newflag.astype(jnp.int64))
     overflow = n_groups > max_groups
     gid = jnp.where(in_prefix, jnp.clip(gid_raw, 0, max_groups), max_groups)
-    nseg = max_groups + 1  # +1 drop bucket for invalid rows / overflow
+    starts, ends = _boundaries(gid, max_groups)
+    group_exists = ends >= starts
 
-    # group key outputs (all rows in a group share the key: segment_max is exact)
+    # group key outputs: gather the sorted key at each run start (no scatter)
     group_codes = []
     ki = 1
     for _ in keys:
         null_s, code_s = sorted_keys[ki], sorted_keys[ki + 1]
         ki += 2
-        from .dtypes import key_fill
-
+        safe_start = jnp.clip(starts, 0, n - 1)
         fill = jnp.asarray(key_fill(code_s.dtype), dtype=code_s.dtype)
-        out_code = _segment(jnp.where(in_prefix, code_s, fill), gid, nseg, "max")[:max_groups]
-        out_null = _segment(jnp.where(in_prefix, null_s, 0), gid, nseg, "max")[:max_groups]
-        group_codes.append((out_code, out_null.astype(bool)))
+        out_code = jnp.where(group_exists, code_s[safe_start], fill)
+        out_null = jnp.where(group_exists, null_s[safe_start] > 0, False)
+        group_codes.append((out_code, out_null))
 
     results = []
     for spec in aggs:
         results.append(
-            _agg_one(spec, gid, in_prefix, perm, nseg, max_groups,
-                     pre_sorted=True, key_ops=key_ops)
+            _agg_one_sorted(spec, perm, gid, in_prefix, starts, ends,
+                            key_ops, max_groups)
         )
     return group_codes, results, n_groups, overflow
 
 
-def _agg_one(spec, gid, in_prefix, perm, nseg, out_len, pre_sorted,
-             key_ops=None):
-    """Compute one aggregate; returns (data[:out_len], valid|None)."""
+def _agg_one_sorted(spec, perm, gid, in_prefix, starts, ends, key_ops,
+                    max_groups):
     func = spec["func"]
     values = spec.get("values")
     valid = spec.get("valid")
     n = gid.shape[0]
 
-    if func == "count" and values is None:
-        cnt = jax.ops.segment_sum(in_prefix.astype(jnp.int64), gid, num_segments=nseg)
-        return cnt[:out_len], None
-
-    if pre_sorted:
-        vals = values[perm]
-        v_valid = in_prefix if valid is None else (valid[perm] & in_prefix)
-    else:
-        vals = values
-        v_valid = in_prefix if valid is None else (valid & in_prefix)
-
     if spec.get("distinct") and func == "count":
-        # needs its own sort ordered by (group keys, value) for adjacency dedup
-        assert key_ops is not None or not pre_sorted
-        from .dtypes import key_code
+        return _count_distinct(spec, key_ops, max_groups, n)
 
-        vcode, vnull = key_code(values, valid, spec.get("np_kind", "i"))
-        if pre_sorted:
-            ops = list(key_ops) + [vnull.astype(jnp.int32), vcode]
-        else:
-            arange0 = jnp.arange(n, dtype=jnp.int64)
-            ops = [(~in_prefix).astype(jnp.int32), vnull.astype(jnp.int32), vcode]
-        sorted2, _ = _sort_with_payload(ops, [])
-        arange = jnp.arange(n, dtype=jnp.int64)
-        nvalid2 = n - jnp.sum(sorted2[0])
-        in_pref2 = arange < nvalid2
-        # group boundary over the *key* operands only
-        key_end = len(ops) - 2
-        newflag2 = arange == 0
-        for op in sorted2[1:key_end]:
-            newflag2 = newflag2 | jnp.concatenate([jnp.ones(1, dtype=bool), op[1:] != op[:-1]])
-        newflag2 = newflag2 & in_pref2
-        gid2_raw = jnp.cumsum(newflag2.astype(jnp.int64)) - 1
-        gid2 = jnp.where(in_pref2, jnp.clip(gid2_raw, 0, nseg - 1), nseg - 1)
-        # distinct-value boundary within a group
-        vnull_s, vcode_s = sorted2[key_end], sorted2[key_end + 1]
-        vdiff = jnp.concatenate([jnp.ones(1, dtype=bool), vcode_s[1:] != vcode_s[:-1]])
-        distinct_new = (newflag2 | vdiff) & in_pref2 & (vnull_s == 0)
-        cnt = jax.ops.segment_sum(distinct_new.astype(jnp.int64), gid2, num_segments=nseg)
-        return cnt[:out_len], None
+    if func == "count" and values is None:
+        cnt = _sum_by_boundary(in_prefix.astype(jnp.int64), starts, ends)
+        return cnt, None
+
+    vals = values[perm]
+    v_valid = in_prefix if valid is None else (valid[perm] & in_prefix)
 
     if func == "count":
-        cnt = jax.ops.segment_sum(v_valid.astype(jnp.int64), gid, num_segments=nseg)
-        return cnt[:out_len], None
+        cnt = _sum_by_boundary(v_valid.astype(jnp.int64), starts, ends)
+        return cnt, None
 
-    has_any = jax.ops.segment_max(v_valid.astype(jnp.int32), gid, num_segments=nseg)[:out_len] > 0
-
+    cnt = _sum_by_boundary(v_valid.astype(jnp.int64), starts, ends)
+    has_any = cnt > 0
     acc_dtype = spec["acc_dtype"]
+
     if func == "sum":
-        acc = jax.ops.segment_sum(
-            jnp.where(v_valid, vals.astype(acc_dtype), jnp.asarray(0, acc_dtype)),
-            gid, num_segments=nseg,
-        )
-        return acc[:out_len], has_any
+        masked = jnp.where(v_valid, vals.astype(acc_dtype),
+                           jnp.asarray(0, acc_dtype))
+        return _sum_by_boundary(masked, starts, ends), has_any
     if func == "avg":
-        s = jax.ops.segment_sum(
-            jnp.where(v_valid, vals.astype(jnp.float64), 0.0), gid, num_segments=nseg
-        )
-        c = jax.ops.segment_sum(v_valid.astype(jnp.int64), gid, num_segments=nseg)
-        avg = s[:out_len] / jnp.maximum(c[:out_len], 1)
-        return jnp.where(c[:out_len] > 0, avg, 0.0), has_any
+        s = _sum_by_boundary(
+            jnp.where(v_valid, vals.astype(jnp.float64), 0.0), starts, ends)
+        avg = s / jnp.maximum(cnt, 1)
+        return jnp.where(cnt > 0, avg, 0.0), has_any
     if func in ("min", "max"):
         if np.dtype(acc_dtype).kind == "f":
             ident = jnp.inf if func == "min" else -jnp.inf
         else:
             ident = INT64_MAX if func == "min" else INT64_MIN
-        masked = jnp.where(v_valid, vals.astype(acc_dtype), jnp.asarray(ident, acc_dtype))
-        acc = _segment(masked, gid, nseg, func)[:out_len]
-        return jnp.where(has_any, acc, jnp.asarray(0, acc_dtype)), has_any
+        masked = jnp.where(v_valid, vals.astype(acc_dtype),
+                           jnp.asarray(ident, acc_dtype))
+        out = _seg_scan_minmax(masked, gid, starts, ends, func == "min")
+        return jnp.where(has_any, out, jnp.asarray(0, acc_dtype)), has_any
     raise AssertionError(func)
+
+
+def _count_distinct(spec, key_ops, max_groups, n):
+    """COUNT(DISTINCT x): secondary sort ordered by (group keys, x), distinct
+    flags from adjacency, cumsum + boundary diff."""
+    from .dtypes import key_code
+
+    values = spec["values"]
+    valid = spec.get("valid")
+    vcode, vnull = key_code(values, valid, spec.get("np_kind", "i"))
+    ops = list(key_ops) + [vnull.astype(jnp.int32), vcode]
+    sorted2, _ = _sort_with_payload(ops, [])
+    arange = jnp.arange(n, dtype=jnp.int64)
+    nvalid2 = n - jnp.sum(sorted2[0].astype(jnp.int64))
+    in_pref2 = arange < nvalid2
+    key_end = len(ops) - 2
+    newflag2 = (arange == 0) & in_pref2
+    for op in sorted2[1:key_end]:
+        diff = jnp.concatenate([jnp.ones(1, dtype=bool), op[1:] != op[:-1]])
+        newflag2 = newflag2 | (diff & in_pref2)
+    gid2_raw = jnp.cumsum(newflag2.astype(jnp.int64)) - 1
+    gid2 = jnp.where(in_pref2, jnp.clip(gid2_raw, 0, max_groups), max_groups)
+    starts2, ends2 = _boundaries(gid2, max_groups)
+    vnull_s, vcode_s = sorted2[key_end], sorted2[key_end + 1]
+    vdiff = jnp.concatenate([jnp.ones(1, dtype=bool),
+                             vcode_s[1:] != vcode_s[:-1]])
+    distinct_new = (newflag2 | vdiff) & in_pref2 & (vnull_s == 0)
+    cnt = _sum_by_boundary(distinct_new.astype(jnp.int64), starts2, ends2)
+    return cnt, None
+
+
+def _global_aggregate(aggs, row_valid, n):
+    """No GROUP BY: direct masked reductions, one output row."""
+    rv = jnp.ones(n, dtype=bool) if row_valid is None else row_valid
+    results = []
+    for spec in aggs:
+        func = spec["func"]
+        values = spec.get("values")
+        valid = spec.get("valid")
+        if func == "count" and values is None:
+            results.append((jnp.sum(rv.astype(jnp.int64)).reshape(1), None))
+            continue
+        if spec.get("distinct") and func == "count":
+            # global distinct: sort values, count adjacency changes
+            from .dtypes import key_code
+
+            vcode, vnull = key_code(values, valid, spec.get("np_kind", "i"))
+            inv = (vnull | ~rv).astype(jnp.int32)
+            s_inv, s_code = jax.lax.sort((inv, vcode), num_keys=2)
+            nv = n - jnp.sum(s_inv.astype(jnp.int64))
+            arange = jnp.arange(n, dtype=jnp.int64)
+            newv = jnp.concatenate([jnp.ones(1, dtype=bool),
+                                    s_code[1:] != s_code[:-1]])
+            cnt = jnp.sum((newv & (arange < nv)).astype(jnp.int64))
+            results.append((cnt.reshape(1), None))
+            continue
+        v_valid = rv if valid is None else (rv & valid)
+        if func == "count":
+            results.append((jnp.sum(v_valid.astype(jnp.int64)).reshape(1), None))
+            continue
+        cnt = jnp.sum(v_valid.astype(jnp.int64))
+        has = (cnt > 0).reshape(1)
+        acc = spec["acc_dtype"]
+        if func == "sum":
+            s = jnp.sum(jnp.where(v_valid, values.astype(acc),
+                                  jnp.asarray(0, acc)))
+            results.append((s.reshape(1), has))
+        elif func == "avg":
+            s = jnp.sum(jnp.where(v_valid, values.astype(jnp.float64), 0.0))
+            results.append(((s / jnp.maximum(cnt, 1)).reshape(1), has))
+        elif func in ("min", "max"):
+            if np.dtype(acc).kind == "f":
+                ident = np.inf if func == "min" else -np.inf
+            else:
+                ident = INT64_MAX if func == "min" else INT64_MIN
+            masked = jnp.where(v_valid, values.astype(acc),
+                               jnp.asarray(ident, acc))
+            red = jnp.min(masked) if func == "min" else jnp.max(masked)
+            results.append((jnp.where(cnt > 0, red,
+                                      jnp.asarray(0, acc)).reshape(1), has))
+        else:
+            raise AssertionError(func)
+    return [], results, jnp.asarray(1, dtype=jnp.int64), jnp.asarray(False)
