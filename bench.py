@@ -117,13 +117,50 @@ def bench_sortmerge(n_left: int, n_right: int, iters: int):
             "matches": int(r.to_pydict()["n"][0])}
 
 
+def bench_micro(iters: int = 2000):
+    """Frontend micro-benchmarks — parse/optimize parity with the reference's
+    criterion benches (benches/engine_bench.rs:8-43)."""
+    from gpu_olap_tpu.plan.optimizer import optimize
+    from gpu_olap_tpu.sql.parser import parse_sql
+
+    simple = "SELECT a, b, c FROM sales WHERE revenue > 1000"
+    complex_join = ("SELECT o.id, c.name, sum(o.amount) FROM orders o "
+                    "JOIN customers c ON o.cust_id = c.id "
+                    "WHERE o.amount > 100 GROUP BY o.id, c.name "
+                    "ORDER BY o.id LIMIT 50")
+    out = {}
+    for name, sql in [("parse_simple_select", simple),
+                      ("parse_complex_join", complex_join)]:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            parse_sql(sql)
+        out[name] = (time.perf_counter() - t0) / iters * 1e6  # us
+    plan = parse_sql("SELECT a FROM t WHERE a > 10")
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        optimize(plan)
+    out["optimize_simple"] = (time.perf_counter() - t0) / iters * 1e6
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small sizes (smoke)")
+    ap.add_argument("--micro", action="store_true",
+                    help="parse/optimize micro-benches only (engine_bench.rs)")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--scale", type=float, default=1.0,
                     help="scale factor on row counts")
     args = ap.parse_args()
+
+    if args.micro:
+        micro = bench_micro()
+        for k, v in micro.items():
+            print(f"# {k}: {v:.1f} us", file=sys.stderr)
+        print(json.dumps({"metric": "parse_simple_select_us",
+                          "value": round(micro["parse_simple_select"], 2),
+                          "unit": "us", "vs_baseline": 1.0}))
+        return
 
     if args.quick:
         sizes = {"filter_agg": 1 << 20, "groupby": (1 << 20, 1 << 14),

@@ -137,7 +137,7 @@ class DeviceExecutor:
             # grow capacities and recompile (bounded geometric growth)
             for key in overflowed:
                 cur = meta["capacities"][key]
-                self._cap_override[key] = int(cur * 2)
+                self._cap_override[key] = int(cur * 4)
                 logger.warning("device capacity overflow at %s: growing %d -> %d",
                                key, cur, self._cap_override[key])
         raise RuntimeError("join/aggregate capacity kept overflowing after 8 growths")
@@ -399,8 +399,10 @@ class _Interpreter:
         rkeys = [u[1] for u in unified]
 
         cap_key = ("join", path)
+        # initial guess covers FK-style joins (matches ~ probe rows) without a
+        # growth recompile; growth is 4x to converge fast on expansive joins
         capacity = self.cap_override.get(
-            cap_key, int(max(nl, nr) * self.config.join_expansion)
+            cap_key, int((nl + nr) * self.config.join_expansion)
         )
         self.meta["capacities"][cap_key] = capacity
 
