@@ -30,16 +30,16 @@ def combine_mask(row_valid: Optional[jnp.ndarray], pred_data, pred_valid):
 
 
 def compaction_indices(mask: jnp.ndarray):
-    """Prefix-sum compaction: returns (gather_idx, count).
+    """Stable compaction permutation: returns (gather_idx, count).
 
-    ``gather_idx[i]`` is the source row for dense slot i (slots >= count point
-    at row 0 and must be masked by the caller)."""
+    ``gather_idx[i]`` is the source row for dense slot i (slots >= count hold
+    the masked-out rows).  Implemented as a stable sort by the inverted mask —
+    scatter-free, since XLA scatter serializes on TPU."""
     n = mask.shape[0]
-    pos = jnp.cumsum(mask.astype(jnp.int64)) - 1
+    arange = jnp.arange(n, dtype=jnp.int64)
+    inv = (~mask).astype(jnp.int32)
+    _, gather_idx = jax.lax.sort((inv, arange), num_keys=2)
     count = jnp.sum(mask.astype(jnp.int64))
-    gather_idx = jnp.zeros(n, dtype=jnp.int64).at[
-        jnp.where(mask, pos, n)
-    ].set(jnp.arange(n, dtype=jnp.int64), mode="drop")
     return gather_idx, count
 
 

@@ -51,15 +51,15 @@ def bucket_layout(dest: jnp.ndarray, row_valid, num_buckets: int, bucket_cap: in
         dest_eff = dest
     else:
         dest_eff = jnp.where(row_valid, dest, num_buckets)  # invalid -> drop bucket
-    counts = jax.ops.segment_sum(
-        jnp.ones(n, dtype=jnp.int64), dest_eff, num_segments=num_buckets + 1
-    )[:num_buckets]
-    overflow = jnp.max(counts) > bucket_cap
     # stable sort rows by destination; rows of bucket b occupy a contiguous run
     sorted_dest, sorted_rows = jax.lax.sort((dest_eff, arange), num_keys=1)
-    offsets = jnp.cumsum(counts) - counts  # exclusive prefix over buckets
-    b = jnp.arange(num_buckets, dtype=jnp.int64)[:, None]
+    # histogram from run boundaries (binary search — scatter-free)
+    bucket_ids = jnp.arange(num_buckets + 1, dtype=sorted_dest.dtype)
+    bounds = jnp.searchsorted(sorted_dest, bucket_ids, side="left")
+    counts = bounds[1:] - bounds[:-1]
+    overflow = jnp.max(counts) > bucket_cap
+    offsets = bounds[:-1]  # exclusive prefix over buckets
     slot = jnp.arange(bucket_cap, dtype=jnp.int64)[None, :]
     src = jnp.clip(offsets[:, None] + slot, 0, n - 1)
     gather_idx = sorted_rows[src]
-    return gather_idx, counts, overflow
+    return gather_idx, counts.astype(jnp.int64), overflow

@@ -71,7 +71,8 @@ def densify_keys(
     for op in res[:-1]:
         newflag = newflag | jnp.concatenate([jnp.ones(1, dtype=bool), op[1:] != op[:-1]])
     code_sorted = jnp.cumsum(newflag.astype(jnp.int64))
-    dense = jnp.zeros(n, dtype=jnp.int64).at[perm].set(code_sorted)
+    # inverse permutation by re-sorting (scatter-free)
+    _, dense = jax.lax.sort((perm, code_sorted), num_keys=1)
     return dense[:nl], dense[nl:]
 
 
@@ -185,6 +186,17 @@ def _prepare_codes(left_keys, left_rowvalid, right_keys, right_rowvalid,
     return lcode, linv, rcode, rinv
 
 
+def _compact_rows(flag: jnp.ndarray):
+    """Row ids where ``flag`` holds, compacted to a -1-padded prefix
+    (stable sort — scatter-free)."""
+    n = flag.shape[0]
+    arange = jnp.arange(n, dtype=jnp.int64)
+    _, rows = jax.lax.sort(((~flag).astype(jnp.int32), arange), num_keys=2)
+    n_set = jnp.sum(flag.astype(jnp.int64))
+    rows = jnp.where(arange < n_set, rows, jnp.int64(-1))
+    return rows, n_set
+
+
 def outer_extend(join_type: str, li, ri, out_valid, total,
                  cnt, left_rowvalid, right_rowvalid, nl: int, nr: int):
     """Append unmatched rows for left/right/full joins.
@@ -200,11 +212,7 @@ def outer_extend(join_type: str, li, ri, out_valid, total,
     if join_type in ("left", "full"):
         lvalid = jnp.ones(nl, dtype=bool) if left_rowvalid is None else left_rowvalid
         unmatched = (cnt == 0) & lvalid
-        k = jnp.cumsum(unmatched.astype(jnp.int64)) - 1
-        n_un = jnp.sum(unmatched.astype(jnp.int64))
-        slot_rows = jnp.full(nl, -1, dtype=jnp.int64).at[
-            jnp.where(unmatched, k, nl)
-        ].set(jnp.arange(nl, dtype=jnp.int64), mode="drop")
+        slot_rows, n_un = _compact_rows(unmatched)
         parts_li.append(slot_rows)
         parts_ri.append(jnp.full(nl, -1, dtype=jnp.int64))
         parts_valid.append(jnp.arange(nl, dtype=jnp.int64) < n_un)
@@ -212,15 +220,16 @@ def outer_extend(join_type: str, li, ri, out_valid, total,
 
     if join_type in ("right", "full"):
         rvalid = jnp.ones(nr, dtype=bool) if right_rowvalid is None else right_rowvalid
-        matched = jnp.zeros(nr, dtype=jnp.int32).at[
-            jnp.where(out_valid, ri, nr)
-        ].max(out_valid.astype(jnp.int32), mode="drop") > 0
+        # membership test: sort emitted right-row ids, then binary-search each
+        # build row (scatter-free matched-flag computation)
+        emitted = jnp.where(out_valid, ri, jnp.int64(-1))
+        emitted_sorted = jnp.sort(emitted)
+        rows = jnp.arange(nr, dtype=jnp.int64)
+        lo = jnp.searchsorted(emitted_sorted, rows, side="left")
+        hi = jnp.searchsorted(emitted_sorted, rows, side="right")
+        matched = hi > lo
         unmatched = ~matched & rvalid
-        k = jnp.cumsum(unmatched.astype(jnp.int64)) - 1
-        n_un = jnp.sum(unmatched.astype(jnp.int64))
-        slot_rows = jnp.full(nr, -1, dtype=jnp.int64).at[
-            jnp.where(unmatched, k, nr)
-        ].set(jnp.arange(nr, dtype=jnp.int64), mode="drop")
+        slot_rows, n_un = _compact_rows(unmatched)
         parts_li.append(jnp.full(nr, -1, dtype=jnp.int64))
         parts_ri.append(slot_rows)
         parts_valid.append(jnp.arange(nr, dtype=jnp.int64) < n_un)

@@ -17,5 +17,20 @@ def ensure_jax():
 
     if not _READY:
         jax.config.update("jax_enable_x64", True)
+        # persistent compilation cache: TPU compiles through the remote
+        # tunnel take minutes; cache them across processes
+        try:
+            import os
+
+            cache_dir = os.environ.get(
+                "GPU_OLAP_TPU_COMPILE_CACHE",
+                os.path.expanduser("~/.cache/gpu_olap_tpu_xla"),
+            )
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
         _READY = True
     return jax
