@@ -39,26 +39,56 @@ class NotStreamable(Exception):
 
 @dataclasses.dataclass
 class _StreamablePipeline:
-    scan: P.TpuTableScan
-    # operators between scan and aggregate, bottom-up (filters/projections)
+    scan: P.TpuTableScan              # the streamed (probe) scan
+    # operators between the streamed scan and the aggregate (or the join),
+    # bottom-up order
     middle: List[P.PhysicalPlan]
     aggregate: P.TpuAggregate
+    # streamed-join extension: probe chunks join a device-resident build side
+    join: Optional[P.TpuHashJoin] = None
+    agg_middle: List[P.PhysicalPlan] = dataclasses.field(default_factory=list)
+    build_plan: Optional[P.PhysicalPlan] = None  # cached-side subtree
 
 
-def match_streamable(plan: P.PhysicalPlan) -> _StreamablePipeline:
-    """Aggregate over (Filter|Projection)* over a single TableScan."""
+def _strip_middle(node: P.PhysicalPlan):
+    middle: List[P.PhysicalPlan] = []
+    while isinstance(node, (P.TpuFilter, P.TpuProjection)):
+        middle.append(node)
+        node = node.input
+    return list(reversed(middle)), node
+
+
+def match_streamable(plan: P.PhysicalPlan, catalog) -> _StreamablePipeline:
+    """Aggregate over (F|P)* over [Join(streamed probe, cached build) |
+    streamed TableScan]."""
     if not isinstance(plan, P.TpuAggregate):
         raise NotStreamable(type(plan).__name__)
     if any(a.distinct for a in plan.aggs):
         raise NotStreamable("COUNT(DISTINCT) is not mergeable across chunks")
-    middle: List[P.PhysicalPlan] = []
-    node = plan.input
-    while isinstance(node, (P.TpuFilter, P.TpuProjection)):
-        middle.append(node)
-        node = node.input
-    if not isinstance(node, P.TpuTableScan):
-        raise NotStreamable(type(node).__name__)
-    return _StreamablePipeline(node, list(reversed(middle)), plan)
+    middle, node = _strip_middle(plan.input)
+    if isinstance(node, P.TpuTableScan):
+        return _StreamablePipeline(node, middle, plan)
+    if isinstance(node, P.TpuHashJoin):
+        join = node
+        if join.join_type != "inner":
+            raise NotStreamable("streamed outer join")
+        if len(join.left_keys) != 1:
+            raise NotStreamable("streamed multi-key join")
+        probe_middle, probe_leaf = _strip_middle(join.left)
+        build_middle, build_leaf = _strip_middle(join.right)
+        if not isinstance(probe_leaf, P.TpuTableScan) \
+                or not isinstance(build_leaf, P.TpuTableScan):
+            raise NotStreamable("streamed join requires scan leaves")
+        if catalog.is_cached(probe_leaf.table_name):
+            raise NotStreamable("probe side is cached (not the streamed one)")
+        if not catalog.is_cached(build_leaf.table_name):
+            raise NotStreamable("build side must fit in memory (cached)")
+        if join.left_keys[0].dtype is DType.STRING:
+            raise NotStreamable("string join keys while streaming")
+        return _StreamablePipeline(probe_leaf, probe_middle, plan,
+                                   join=join, agg_middle=middle,
+                                   build_plan=join.right)
+    raise NotStreamable(type(node).__name__)
 
 
 class StreamingAggregator:
@@ -70,24 +100,40 @@ class StreamingAggregator:
         self._interpreter_cls = interpreter_cls
 
     def execute(self, plan: P.PhysicalPlan) -> ColumnBatch:
-        pipe = match_streamable(plan)
+        pipe = match_streamable(plan, self.catalog)
         agg = pipe.aggregate
         chunk_rows = self.config.batch_size
-        max_groups = min(self.config.max_groups, 1 << 22)
-        n_keys = len(agg.group_exprs)
-
-        # state: per key (codes, nulls); per agg a set of partial columns
         partials = _partial_layout(agg)
 
-        step = self._build_step(pipe, chunk_rows, max_groups, partials)
+        build = self._prepare_build(pipe) if pipe.join is not None else None
 
+        max_groups = min(self.config.max_groups, 1 << 22)
+        join_capacity = int(chunk_rows * self.config.join_expansion) \
+            if pipe.join is not None else 0
+
+        for attempt in range(4):
+            state, overflowed = self._stream_once(
+                pipe, build, chunk_rows, max_groups, join_capacity, partials)
+            if not overflowed:
+                return self._finalize(agg, state, max_groups)
+            join_capacity *= 4
+            max_groups = min(max_groups * 4, 1 << 24)
+            logger.warning("streamed pass overflowed; retrying with "
+                           "join_capacity=%d max_groups=%d",
+                           join_capacity, max_groups)
+        raise RuntimeError("streaming capacities kept overflowing")
+
+    def _stream_once(self, pipe, build, chunk_rows, max_groups, join_capacity,
+                     partials):
+        agg = pipe.aggregate
+        step = self._build_step(pipe, chunk_rows, max_groups, partials,
+                                build, join_capacity)
         state = _init_state(agg.group_exprs, partials, max_groups)
+        overflow = jnp.asarray(False)
         feeder = DeviceFeeder(num_buffers=self.config.num_feed_buffers)
-        cols = [f.name for f in self.catalog.get_schema(pipe.scan.table_name)
-                ] if pipe.scan.projection is None else [
-            self.catalog.get_schema(pipe.scan.table_name).field(i).name
-            for i in pipe.scan.projection
-        ]
+        table_schema = self.catalog.get_schema(pipe.scan.table_name)
+        cols = ([f.name for f in table_schema] if pipe.scan.projection is None
+                else [table_schema.field(i).name for i in pipe.scan.projection])
         chunks = self.catalog.iter_table_chunks(
             pipe.scan.table_name, chunk_rows, columns=cols
         )
@@ -98,56 +144,102 @@ class StreamingAggregator:
 
         n_chunks = 0
         for dev_chunk in feeder.feed(host_iter()):
-            state = step(state, *dev_chunk)
+            state, step_overflow = step(state, *dev_chunk)
+            overflow = overflow | step_overflow
             n_chunks += 1
         logger.info("streamed %d chunks of %d rows", n_chunks, chunk_rows)
+        return state, (bool(np.asarray(overflow)) if n_chunks else False)
 
-        return self._finalize(agg, state, max_groups)
+    # ------------------------------------------------------------------
+    def _prepare_build(self, pipe: _StreamablePipeline):
+        """One-time: build side onto the device, filtered/projected, keyed,
+        sorted (eager jnp ops — the build side is cached/in-memory)."""
+        from .device import DevBatch, DevCol, _np_kind
+        from ..ops import join as join_ops
+
+        interp = self._interpreter_cls(self.config, {}, {}, {
+            "flag_names": [], "capacities": {}})
+        build_middle, build_scan = _strip_middle(pipe.build_plan)
+        host = self.catalog.get_table_data(build_scan.table_name).to_numpy()
+        indices = (build_scan.projection if build_scan.projection is not None
+                   else range(len(host.columns)))
+        cols = []
+        for i in indices:
+            c = host.columns[i]
+            v = None if c.validity is None else jnp.asarray(c.validity)
+            cols.append(DevCol(jnp.asarray(c.data), v, c.dictionary))
+        batch = DevBatch(build_scan.schema, cols, host.num_rows, None)
+        for op in build_middle:
+            batch = _apply_one(interp, op, batch)
+        key_expr = pipe.join.right_keys[0]
+        d, v, _ = interp.eval_expr(key_expr, batch)
+        code, null = key_code(d, v, _np_kind(key_expr.dtype))
+        inv = null if batch.row_valid is None else (null | ~batch.row_valid)
+        sk, srow, nbv = join_ops.build_sorted(code, inv)
+        return {"batch": batch, "sk": sk, "srow": srow, "nbv": nbv}
 
     # ------------------------------------------------------------------
     def _build_step(self, pipe: _StreamablePipeline, chunk_rows: int,
-                    max_groups: int, partials):
+                    max_groups: int, partials, build=None,
+                    join_capacity: int = 0):
         interp = self._interpreter_cls(self.config, {}, {}, {
             "flag_names": [], "capacities": {}})
         scan_schema = pipe.scan.schema
         table_schema = self.catalog.get_schema(pipe.scan.table_name)
-        dicts = []
-        host = None
-        # dictionaries for string columns come from catalog metadata; for
-        # uncached parquet we read just the schema (dictionaries are built
-        # per-chunk, so string group keys are unsupported when streaming)
+        # dictionaries for string columns are built per-chunk, so string
+        # group keys / payloads are unsupported while streaming
         for f in (table_schema if pipe.scan.projection is None else
                   (table_schema.field(i) for i in pipe.scan.projection)):
             if f.dtype is DType.STRING:
                 raise NotStreamable("string group keys/payloads while streaming")
-            dicts.append(None)
 
-        from .device import DevBatch, DevCol
+        from .device import DevBatch, DevCol, _np_kind
+        from ..ops import join as join_ops
 
         agg = pipe.aggregate
+        join = pipe.join
 
         def step(state, valid_rows, *arrays):
             cols = [DevCol(a, None, None) for a in arrays]
             row_valid = jnp.arange(chunk_rows) < valid_rows
             batch = DevBatch(scan_schema, cols, chunk_rows, row_valid)
             for op in pipe.middle:
-                if isinstance(op, P.TpuFilter):
-                    data, valid, _ = interp.eval_expr(op.predicate, batch)
-                    mask = filter_ops.combine_mask(batch.row_valid, data, valid)
-                    batch = DevBatch(op.schema, batch.cols, batch.capacity, mask)
-                else:
-                    ncols = []
-                    for e in op.exprs:
-                        d, v, dd = interp.eval_expr(e, batch)
-                        ncols.append(DevCol(d, v, dd))
-                    batch = DevBatch(op.schema, ncols, batch.capacity, batch.row_valid)
+                batch = _apply_one(interp, op, batch)
+            step_overflow = jnp.asarray(False)
 
+            if join is not None:
+                # probe this chunk against the resident sorted build side
+                key_expr = join.left_keys[0]
+                d, v, _ = interp.eval_expr(key_expr, batch)
+                pcode, pnull = key_code(d, v, _np_kind(key_expr.dtype))
+                pinv = pnull if batch.row_valid is None else \
+                    (pnull | ~batch.row_valid)
+                pcode = pcode.astype(build["sk"].dtype)
+                lo, cnt = join_ops.probe_counts(
+                    build["sk"], build["nbv"], pcode, pinv)
+                li, ri, out_valid, total, j_overflow = join_ops.expand_matches(
+                    cnt, lo, build["srow"], join_capacity)
+                step_overflow = step_overflow | j_overflow
+                from .device import _gather_col
+
+                jcols = [
+                    _gather_col(c, li, out_valid) for c in batch.cols
+                ] + [
+                    _gather_col(c, ri, out_valid) for c in build["batch"].cols
+                ]
+                batch = DevBatch(join.schema, jcols, join_capacity, out_valid)
+                if join.residual is not None:
+                    data, valid, _ = interp.eval_expr(join.residual, batch)
+                    mask = filter_ops.combine_mask(batch.row_valid, data, valid)
+                    batch = DevBatch(join.schema, batch.cols, batch.capacity, mask)
+                for op in pipe.agg_middle:
+                    batch = _apply_one(interp, op, batch)
+
+            rows = batch.capacity
             # chunk keys/values + state keys/values -> one grouped pass
             chunk_keys = []
             for g in agg.group_exprs:
                 d, v, _ = interp.eval_expr(g, batch)
-                from .device import _np_kind
-
                 chunk_keys.append(key_code(d, v, _np_kind(g.dtype)))
 
             state_keys, state_partials, state_valid = state
@@ -157,13 +249,12 @@ class StreamingAggregator:
             ] if chunk_keys else []
             all_valid = jnp.concatenate([
                 batch.row_valid if batch.row_valid is not None
-                else jnp.ones(chunk_rows, bool),
+                else jnp.ones(rows, bool),
                 state_valid,
             ])
 
             specs = []
             for spec_group, a in zip(partials, agg.aggs):
-                chunk_vals = {}
                 if a.arg is not None:
                     data, valid, _ = interp.eval_expr(a.arg, batch)
                 else:
@@ -171,8 +262,8 @@ class StreamingAggregator:
                 for pname, pfunc, pdtype in spec_group:
                     if pfunc == "count":
                         cv = jnp.where(
-                            (jnp.ones(chunk_rows, bool) if valid is None else valid)
-                            if data is not None else jnp.ones(chunk_rows, bool),
+                            (jnp.ones(rows, bool) if valid is None else valid)
+                            if data is not None else jnp.ones(rows, bool),
                             1, 0).astype(jnp.int64)
                         cvalid = None
                     else:
@@ -191,19 +282,36 @@ class StreamingAggregator:
                         "distinct": False, "acc_dtype": pdtype,
                     })
 
-            group_codes, results, n_groups, overflow = agg_ops.groupby_aggregate(
+            group_codes, results, n_groups, g_overflow = agg_ops.groupby_aggregate(
                 keys, all_valid, specs, max_groups,
-                n_rows=chunk_rows + max_groups,
+                n_rows=rows + max_groups,
             )
+            if keys:
+                step_overflow = step_overflow | g_overflow
             new_keys = group_codes
             new_partials = [r[0] for r in results]
             new_valid = (jnp.arange(max_groups) < n_groups) if keys else \
                 jnp.ones(1, bool)
             if not keys:
                 new_keys = []
-            return (new_keys, new_partials, new_valid)
+            return (new_keys, new_partials, new_valid), step_overflow
 
         return jax.jit(step, donate_argnums=(0,))
+
+
+def _apply_one(interp, op, batch):
+    """Apply one Filter/Projection physical operator to a DevBatch."""
+    from .device import DevBatch, DevCol
+
+    if isinstance(op, P.TpuFilter):
+        data, valid, _ = interp.eval_expr(op.predicate, batch)
+        mask = filter_ops.combine_mask(batch.row_valid, data, valid)
+        return DevBatch(op.schema, batch.cols, batch.capacity, mask)
+    ncols = []
+    for e in op.exprs:
+        d, v, dd = interp.eval_expr(e, batch)
+        ncols.append(DevCol(d, v, dd))
+    return DevBatch(op.schema, ncols, batch.capacity, batch.row_valid)
 
     # ------------------------------------------------------------------
     def _finalize(self, agg: P.TpuAggregate, state, max_groups: int) -> ColumnBatch:

@@ -94,3 +94,45 @@ def test_streamed_global_agg_empty_filter(big_parquet):
     got = _streaming_engine(path).query(sql)
     d = got.to_pydict()
     assert d["n"][0] == 0
+
+
+def test_streamed_join_aggregate(big_parquet):
+    """Streamed probe join: uncached big table joins a cached dimension table,
+    fused into the partial-aggregate pipeline."""
+    path, table = big_parquet
+    eng = _streaming_engine(path)
+    dim_k = np.arange(100, dtype=np.int64)
+    dim_w = (dim_k * 7 + 1).astype(np.int64)
+    eng.register("dim", {"k": dim_k, "w": dim_w})
+    sql = ("SELECT d.w, COUNT(*) AS n, SUM(b.v) AS s FROM big b "
+           "JOIN dim d ON b.k = d.k WHERE b.v > 100 GROUP BY d.w")
+    got = eng.query(sql).to_pandas().sort_values("w").reset_index(drop=True)
+
+    import pandas as pd
+
+    df = pd.DataFrame({"k": table.column("k").to_numpy(),
+                       "v": table.column("v").to_numpy()})
+    df = df[df.v > 100].merge(pd.DataFrame({"k": dim_k, "w": dim_w}), on="k")
+    exp = df.groupby("w").agg(n=("v", "count"), s=("v", "sum")).reset_index()
+    assert got.w.tolist() == exp.w.tolist()
+    assert got.n.tolist() == exp.n.tolist()
+    assert got.s.tolist() == exp.s.tolist()
+
+
+def test_streamed_join_duplicate_build_keys(big_parquet):
+    path, table = big_parquet
+    eng = _streaming_engine(path)
+    # duplicate build keys force match expansion beyond chunk size
+    dim_k = np.repeat(np.arange(50, dtype=np.int64), 3)
+    dim_w = np.arange(150, dtype=np.int64)
+    eng.register("dim", {"k": dim_k, "w": dim_w})
+    sql = ("SELECT COUNT(*) AS n, SUM(d.w) AS s FROM big b "
+           "JOIN dim d ON b.k = d.k")
+    got = eng.query(sql).to_pydict()
+
+    import pandas as pd
+
+    df = pd.DataFrame({"k": table.column("k").to_numpy()})
+    j = df.merge(pd.DataFrame({"k": dim_k, "w": dim_w}), on="k")
+    assert got["n"][0] == len(j)
+    assert got["s"][0] == j.w.sum()
