@@ -401,7 +401,17 @@ class _Planner:
     def _plan_scan(self, node: L.TableScan) -> PhysicalPlan:
         table_schema: Schema = self.catalog.get_schema(node.table_name)
         if node.projection is not None:
-            indices = tuple(table_schema.index_of(c) for c in node.projection)
+            # the optimizer's pruning may speculatively route unqualified
+            # columns to both join sides — names this table doesn't have are
+            # simply not projected here (resolution errors surface when the
+            # expression itself is lowered)
+            indices = []
+            for c in node.projection:
+                try:
+                    indices.append(table_schema.index_of(c))
+                except KeyError:
+                    continue
+            indices = tuple(sorted(set(indices))) or None
         else:
             indices = None
         out = table_schema if indices is None else table_schema.project(indices)

@@ -22,6 +22,8 @@ def ensure_jax():
         try:
             import os
 
+            if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+                raise RuntimeError("skip persistent cache on CPU test runs")
             cache_dir = os.environ.get(
                 "GPU_OLAP_TPU_COMPILE_CACHE",
                 os.path.expanduser("~/.cache/gpu_olap_tpu_xla"),
