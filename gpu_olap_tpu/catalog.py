@@ -128,6 +128,33 @@ class Catalog:
     def get_stats(self, name: str) -> Optional[dict]:
         return self._meta(name).stats
 
+    def ensure_unique_stat(self, name: str, col: str) -> bool:
+        """Lazily computed + cached column uniqueness (key-column statistic
+        enabling lookup joins)."""
+        meta = self._meta(name)
+        if meta.stats is None:
+            return False
+        key = ("__unique__", col)
+        if key in meta.stats:
+            return meta.stats[key]
+        if meta.data_cache is None:
+            meta.stats[key] = False
+            return False
+        import numpy as np
+
+        try:
+            column = meta.data_cache.column_by_name(col)
+        except KeyError:
+            meta.stats[key] = False
+            return False
+        if column.validity is not None:
+            meta.stats[key] = False
+            return False
+        data = np.asarray(column.data)
+        unique = bool(len(np.unique(data)) == len(data))
+        meta.stats[key] = unique
+        return unique
+
     def get_row_count(self, name: str) -> int:
         return self._meta(name).row_count
 

@@ -63,6 +63,9 @@ class DevCol:
     int32_ok: bool = False
     # (min, max) zone-map range when known — enables direct-address joins
     value_range: Optional[Tuple[int, int]] = None
+    # column proven duplicate-free (lazily computed key statistic) — enables
+    # the expansion-free lookup join
+    unique: bool = False
 
 
 @dataclasses.dataclass
@@ -193,16 +196,26 @@ class DeviceExecutor:
             stats = self.catalog.get_stats(name) or {}
             int32_ok = []
             ranges = []
+            uniques = []
             lo32 = np.iinfo(np.int32).min + 4
             hi32 = np.iinfo(np.int32).max - 4
             for f, col in zip(host.schema, host.columns):
                 if col.dictionary is not None:
                     int32_ok.append(len(col.dictionary) < hi32)
                     ranges.append((0, len(col.dictionary) - 1))
+                    uniques.append(False)
                     continue
                 st = stats.get(f.name)
                 int32_ok.append(st is not None and lo32 < st[0] and st[1] < hi32)
                 ranges.append(st)
+                # uniqueness worth computing only for plausible key columns:
+                # bounded span no smaller than the row count
+                uniq = False
+                if st is not None:
+                    span = int(st[1]) - int(st[0]) + 1
+                    if host.num_rows <= span <= self.config.direct_join_max_range:
+                        uniq = self.catalog.ensure_unique_stat(name, f.name)
+                uniques.append(uniq)
             entry = {
                 "arrays": arrays,
                 "dicts": dicts,
@@ -211,6 +224,7 @@ class DeviceExecutor:
                 "capacity": cap,
                 "int32_ok": int32_ok,
                 "ranges": ranges,
+                "uniques": uniques,
             }
             self._table_cache[name] = (id(host), entry)
             out[name] = entry
@@ -224,7 +238,8 @@ class DeviceExecutor:
             (name, t["capacity"], t["num_rows"],
              tuple((str(a[0].dtype), a[1] is not None) for a in t["arrays"]),
              tuple(id(d) if d is not None else None for d in t["dicts"]),
-             tuple(t.get("int32_ok", ())))
+             tuple(t.get("int32_ok", ())),
+             tuple(t.get("uniques", ())))
             for name, t in sorted(tables.items())
         )
         caps_key = tuple(sorted(self._cap_override.items()))
@@ -334,11 +349,13 @@ class _Interpreter:
         cols = []
         flags = tmeta.get("int32_ok")
         ranges = tmeta.get("ranges")
+        uniques = tmeta.get("uniques")
         for i in indices:
             data, validity = arrays[i]
             cols.append(DevCol(data, validity, tmeta["dicts"][i],
                                bool(flags[i]) if flags else False,
-                               ranges[i] if ranges else None))
+                               ranges[i] if ranges else None,
+                               bool(uniques[i]) if uniques else False))
         cap = tmeta["capacity"]
         n = tmeta["num_rows"]
         row_valid = None
@@ -360,7 +377,8 @@ class _Interpreter:
             src = batch.cols[e.index] if isinstance(e, P.ColumnRef) else None
             cols.append(DevCol(data, valid, dictionary,
                                src.int32_ok if src else False,
-                               src.value_range if src else None))
+                               src.value_range if src else None,
+                               src.unique if src else False))
         return DevBatch(plan.schema, cols, batch.capacity, batch.row_valid)
 
     def _join(self, plan: P.TpuHashJoin, path) -> DevBatch:
@@ -385,6 +403,11 @@ class _Interpreter:
             if (0 < span <= self.config.direct_join_max_range
                     and rk0["dtype"] is not DType.FLOAT64 and strings_ok):
                 build_range = (int(rng[0]), int(rng[1]))
+        # expansion-free lookup join: unique, range-bounded build key
+        lookup = self._try_lookup_join(plan, left, right, lkeys, rkeys)
+        if lookup is not None:
+            return lookup
+
         # unify dictionaries for string key pairs
         lkeys, rkeys = self._unify_string_keys(plan, left, right, lkeys, rkeys)
         # both sides of each key pair must share an operand dtype
@@ -434,6 +457,51 @@ class _Interpreter:
                 pad_r = ri < 0
                 mask = mask | ((pad_l | pad_r) & out_valid)
             out = DevBatch(plan.schema, cols, out_cap, mask)
+        return out
+
+    def _try_lookup_join(self, plan, left: DevBatch, right: DevBatch,
+                         lkeys, rkeys) -> Optional[DevBatch]:
+        if plan.join_type not in ("inner", "left"):
+            return None
+        if len(plan.left_keys) != 1:
+            return None
+        rexpr = plan.right_keys[0]
+        if not isinstance(rexpr, P.ColumnRef):
+            return None
+        rcol = right.cols[rexpr.index]
+        rng = rcol.value_range
+        if not rcol.unique or rng is None:
+            return None
+        span = int(rng[1]) - int(rng[0]) + 1
+        if not (0 < span <= self.config.direct_join_max_range):
+            return None
+        if plan.left_keys[0].dtype is DType.FLOAT64 or rexpr.dtype is DType.FLOAT64:
+            return None
+        if rexpr.dtype is DType.STRING or plan.left_keys[0].dtype is DType.STRING:
+            return None
+
+        lk, rk = lkeys[0], rkeys[0]
+        rinv = rk["null"] if right.row_valid is None else (rk["null"] | ~right.row_valid)
+        pinv = lk["null"] if left.row_valid is None else (lk["null"] | ~left.row_valid)
+        ri, matched = join_ops.lookup_join(
+            rk["code"], rinv, int(rng[0]), int(rng[1]), lk["code"], pinv)
+
+        nl = left.capacity
+        lvalid = left.row_valid if left.row_valid is not None else             jnp.ones(nl, dtype=bool)
+        if plan.join_type == "inner":
+            out_valid = lvalid & matched
+        else:  # left outer: all probe rows survive; build side nulls where
+            out_valid = lvalid
+        cols = list(left.cols) + [
+            _gather_col(c, ri, out_valid) for c in right.cols
+        ]
+        out = DevBatch(plan.schema, cols, nl, out_valid)
+        if plan.residual is not None:
+            data, valid, _ = self.eval_expr(plan.residual, out)
+            mask = filter_ops.combine_mask(out.row_valid, data, valid)
+            if plan.join_type == "left":
+                mask = mask | ((ri < 0) & out_valid)
+            out = DevBatch(plan.schema, cols, nl, mask)
         return out
 
     def _key_of(self, expr: P.PhysExpr, batch: DevBatch):

@@ -147,6 +147,47 @@ def direct_probe(sorted_keys, sorted_rows, n_build_valid, kmin: int, kmax: int,
     return lo, cnt
 
 
+def lookup_join(build_code, build_invalid, kmin: int, kmax: int,
+                probe_code, probe_invalid):
+    """Expansion-free join against a *unique-key* build side.
+
+    With build keys proven duplicate-free (catalog key statistic) and a
+    stats-bounded range, the build side compiles into a dense key->row table
+    (sort + repeat-fill, scatter-free) and probing is one gather per row —
+    no searchsorted, no match expansion (output shape == probe shape).
+    This is the TPU equivalent of an O(1)-probe hash table with a perfect
+    hash (the identity over [kmin, kmax]).
+
+    Returns (ri, matched): per probe row the matching build row (or -1)."""
+    nb = build_code.shape[0]
+    span = int(kmax) - int(kmin) + 1
+    code64 = build_code.astype(jnp.int64)
+    # invalid (filtered/null) build rows get an out-of-range key so the
+    # equality check below can never select them
+    code_eff = jnp.where(build_invalid, jnp.int64(kmax) + 1, code64)
+    arange_b = jnp.arange(nb, dtype=jnp.int64)
+    sc, srow = jax.lax.sort((code_eff, arange_b), num_keys=1)
+    pos = jnp.clip(sc - int(kmin), 0, span)  # tail (invalid) rows -> span
+    nxt = jnp.concatenate([pos[1:], jnp.full(1, span, dtype=pos.dtype)])
+    reps = jnp.clip(nxt - pos, 0, span)
+    lead = jnp.clip(pos[0:1], 0, span)
+    fill = jnp.repeat(
+        jnp.concatenate([jnp.full(1, -1, dtype=jnp.int64), arange_b]),
+        jnp.concatenate([lead, reps]),
+        total_repeat_length=span,
+    )
+    safe_fill = jnp.clip(fill, 0, nb - 1)
+    slot_keys = jnp.arange(span, dtype=jnp.int64) + int(kmin)
+    exists = (fill >= 0) & (sc[safe_fill] == slot_keys)
+    dense_row = jnp.where(exists, srow[safe_fill], jnp.int64(-1))
+
+    rel = probe_code.astype(jnp.int64) - int(kmin)
+    inr = (rel >= 0) & (rel < span) & (~probe_invalid)
+    rel_c = jnp.clip(rel, 0, span - 1)
+    ri = jnp.where(inr, dense_row[rel_c], jnp.int64(-1))
+    return ri, ri >= 0
+
+
 def inner_join(
     left_keys, left_rowvalid, right_keys, right_rowvalid, capacity: int,
     single_key_fast: bool = True,
