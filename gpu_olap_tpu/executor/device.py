@@ -129,14 +129,24 @@ class DeviceExecutor:
                     "plan not streamable (%s); loading table fully "
                     "(may exceed HBM for very large tables)", e)
         tables = self._device_tables(plan)
+        rows_in = sum(t["num_rows"] for t in tables.values())
+        bytes_in = sum(
+            t["capacity"] * sum(a[0].dtype.itemsize for a in t["arrays"])
+            for t in tables.values()
+        )
         for attempt in range(8):
             fn, meta = self._get_compiled(plan, tables)
             arrays = {name: t["arrays"] for name, t in tables.items()}
-            out = fn(arrays)
-            flags = {k: bool(v) for k, v in zip(meta["flag_names"], out["flags"])}
-            overflowed = [k for k, v in flags.items() if v]
+            with Timer() as t_exec:
+                out = fn(arrays)
+                flags = {k: bool(v) for k, v in zip(meta["flag_names"], out["flags"])}
+                overflowed = [k for k, v in flags.items() if v]
             if not overflowed:
-                return self._to_host(plan, out, meta)
+                batch = self._to_host(plan, out, meta)
+                GLOBAL_METRICS.record_span(
+                    "device_execute", t_exec.seconds, rows_in=rows_in,
+                    rows_out=batch.num_rows, bytes_accessed=bytes_in)
+                return batch
             # grow capacities and recompile (bounded geometric growth)
             for key in overflowed:
                 cur = meta["capacities"][key]
