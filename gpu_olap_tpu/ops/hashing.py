@@ -55,7 +55,7 @@ def bucket_layout(dest: jnp.ndarray, row_valid, num_buckets: int, bucket_cap: in
     sorted_dest, sorted_rows = jax.lax.sort((dest_eff, arange), num_keys=1)
     # histogram from run boundaries (binary search — scatter-free)
     bucket_ids = jnp.arange(num_buckets + 1, dtype=sorted_dest.dtype)
-    bounds = jnp.searchsorted(sorted_dest, bucket_ids, side="left")
+    bounds = jnp.searchsorted(sorted_dest, bucket_ids, side="left", method="sort")
     counts = bounds[1:] - bounds[:-1]
     overflow = jnp.max(counts) > bucket_cap
     offsets = bounds[:-1]  # exclusive prefix over buckets

@@ -266,8 +266,8 @@ def outer_extend(join_type: str, li, ri, out_valid, total,
         emitted = jnp.where(out_valid, ri, jnp.int64(-1))
         emitted_sorted = jnp.sort(emitted)
         rows = jnp.arange(nr, dtype=jnp.int64)
-        lo = jnp.searchsorted(emitted_sorted, rows, side="left")
-        hi = jnp.searchsorted(emitted_sorted, rows, side="right")
+        lo = jnp.searchsorted(emitted_sorted, rows, side="left", method="sort")
+        hi = jnp.searchsorted(emitted_sorted, rows, side="right", method="sort")
         matched = hi > lo
         unmatched = ~matched & rvalid
         slot_rows, n_un = _compact_rows(unmatched)
