@@ -29,13 +29,13 @@ BASELINES = {
 }
 
 
-def _engine(batch_rows: int):
+def _engine(batch_rows: int, join_expansion: float = 1.25):
     from gpu_olap_tpu import EngineConfig, OlapEngine
 
     cfg = EngineConfig(
         backend="device",
-        join_expansion=1.25,
-        max_groups=1 << 22,
+        join_expansion=join_expansion,
+        max_groups=1 << 23,
         min_shape_bucket=1 << 16,
         enable_cache=False,  # measure execution, not the result cache
     )
@@ -104,10 +104,10 @@ def bench_join(n_left: int, n_right: int, iters: int, zipf: bool = False):
 
 def bench_sortmerge(n_left: int, n_right: int, iters: int):
     """Config 4: duplicate-heavy keys (stress the merge/expansion path)."""
-    eng = _engine(max(n_left, n_right))
+    eng = _engine(max(n_left, n_right), join_expansion=2.5)
     rng = np.random.default_rng(3)
-    # ~8 duplicates per build key
-    nkeys = max(n_right // 8, 1)
+    # ~4 duplicates per build key (match count ~= 4x probe rows)
+    nkeys = max(n_right // 4, 1)
     eng.register("l", {"k": rng.integers(0, nkeys, n_left).astype(np.int64)})
     eng.register("r", {"k": rng.integers(0, nkeys, n_right).astype(np.int64)})
     sql = "SELECT COUNT(*) AS n FROM l JOIN r ON l.k = r.k"
@@ -171,7 +171,7 @@ def main():
             "filter_agg": int(200e6 * s),
             "groupby": (int(100e6 * s), int(4e6 * s)),
             "join": (int(100e6 * s), int(10e6 * s)),
-            "sortmerge": (int(50e6 * s), int(50e6 * s)),
+            "sortmerge": (int(25e6 * s), int(25e6 * s)),
         }
 
     results = {}
