@@ -343,7 +343,167 @@ class DistributedExecutor:
 
     # ------------------------------------------------------------------
     def _run_join_pipeline(self, dp: _DistPlan) -> ColumnBatch:
-        raise NotDistributable("join pipeline distribution: use dist_ops directly")
+        """Distributed join + aggregation: both sides shuffled by join-key
+        hash, local sort-probe join, then a second shuffle by group key and
+        local aggregation (one shard_map program — XLA overlaps the
+        all-to-alls with local sort/probe compute)."""
+        agg = dp.aggregate
+        join = dp.join
+        l_arrays, l_rowmask, l_per_dev, _ = self._sharded_table(dp.left.scan)
+        r_arrays, r_rowmask, r_per_dev, _ = self._sharded_table(dp.right.scan)
+        interp = self._interp_cls(self.config, {}, {}, {"flag_names": [],
+                                                        "capacities": {}})
+        ndev = self.ndev
+        shuffle_cap = max(max(l_per_dev, r_per_dev) * 2, 128)
+        join_cap = max(int((l_per_dev + r_per_dev) * self.config.join_expansion),
+                       256)
+        regroup_cap = max(join_cap * 2, 256)
+        max_groups = min(self.config.max_groups, 1 << 20)
+
+        from ..executor.device import DevBatch, DevCol, _np_kind
+        from ..ops import join as join_ops
+
+        n_lcols = len(l_arrays)
+        n_rcols = len(r_arrays)
+        in_specs = tuple(Pspec(AXIS) for _ in range(2 + 2 * (n_lcols + n_rcols)))
+        out_specs = (
+            tuple((Pspec(AXIS), Pspec(AXIS)) for _ in agg.group_exprs),
+            tuple((Pspec(AXIS), Pspec(AXIS)) for _ in agg.aggs),
+            Pspec(AXIS),
+            Pspec(),
+        )
+
+        @functools.partial(shard_map, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs, check_vma=False)
+        def program(lmask, rmask, *flat):
+            def build_side(mask, flat_arrays, n_cols, scan, middle):
+                cols = []
+                for i in range(n_cols):
+                    d = flat_arrays[2 * i]
+                    v = flat_arrays[2 * i + 1]
+                    v = None if v.shape[0] == 0 else v
+                    cols.append(DevCol(d, v, None))
+                b = DevBatch(scan.schema, cols, mask.shape[0], mask)
+                return _apply_middle(interp, middle, b)
+
+            lb = build_side(lmask, flat[: 2 * n_lcols], n_lcols,
+                            dp.left.scan, dp.left.middle)
+            rb = build_side(rmask, flat[2 * n_lcols:], n_rcols,
+                            dp.right.scan, dp.right.middle)
+
+            def keyed_shuffle(batch, key_expr):
+                d, v, _ = interp.eval_expr(key_expr, batch)
+                code, null = key_code(d, v, _np_kind(key_expr.dtype))
+                part = _partition_key((code, null))
+                ship = [code, null]
+                for c in batch.cols:
+                    ship.append(c.data)
+                    ship.append(c.validity if c.validity is not None
+                                else jnp.ones(c.data.shape[0], bool))
+                rk, shipped, rvalid, of = shuffle_rows_local(
+                    part, ship, batch.row_valid, ndev, shuffle_cap)
+                it = iter(shipped)
+                code2 = next(it)
+                null2 = next(it).astype(bool)
+                cols2 = []
+                for _c in batch.cols:
+                    d2 = next(it)
+                    v2 = next(it).astype(bool)
+                    cols2.append(DevCol(d2, v2, None))
+                b2 = DevBatch(batch.schema, cols2, rk.shape[0], rvalid)
+                return b2, (code2, null2), of
+
+            lb2, lkey, of1 = keyed_shuffle(lb, join.left_keys[0])
+            rb2, rkey, of2 = keyed_shuffle(rb, join.right_keys[0])
+
+            li, ri, out_valid, total, of3, _cnt = join_ops.inner_join(
+                [lkey], lb2.row_valid, [rkey], rb2.row_valid, join_cap)
+            from ..executor.device import _gather_col
+
+            jcols = [
+                _gather_col(c, li, out_valid) for c in lb2.cols
+            ] + [
+                _gather_col(c, ri, out_valid) for c in rb2.cols
+            ]
+            jb = DevBatch(join.schema, jcols, join_cap, out_valid)
+            jb = _apply_middle(interp, dp.agg_middle, jb)
+
+            overflow = (of1 | of2 | of3.astype(jnp.int32)).astype(jnp.int32)
+            overflow = jax.lax.pmax(overflow, AXIS)
+
+            # second shuffle by the first group key, then local aggregation
+            key_pairs = []
+            for g in agg.group_exprs:
+                d, v, _ = interp.eval_expr(g, jb)
+                key_pairs.append(key_code(d, v, _np_kind(g.dtype)))
+            payload = []
+            payload_valid = []
+            for a in agg.aggs:
+                if a.arg is None:
+                    continue
+                d, v, _ = interp.eval_expr(a.arg, jb)
+                payload.append(d)
+                payload_valid.append(v)
+            ship = []
+            for code, null in key_pairs:
+                ship += [code, null]
+            for d, v in zip(payload, payload_valid):
+                ship.append(d)
+                ship.append(v if v is not None else jnp.ones(d.shape[0], bool))
+            part2 = _partition_key(key_pairs[0])
+            rk2, shipped2, rvalid2, of4 = shuffle_rows_local(
+                part2, ship, jb.row_valid, ndev, regroup_cap)
+            overflow = jnp.maximum(overflow, jax.lax.pmax(of4.astype(jnp.int32), AXIS))
+            it = iter(shipped2)
+            keys2 = []
+            for _g in agg.group_exprs:
+                c2 = next(it)
+                n2 = next(it).astype(bool)
+                keys2.append((c2, n2))
+            specs = []
+            for a in agg.aggs:
+                if a.arg is None:
+                    specs.append({"func": a.func, "values": None, "valid": None,
+                                  "distinct": False,
+                                  "acc_dtype": a.out_dtype.numpy_dtype})
+                    continue
+                vals = next(it)
+                valid = next(it).astype(bool)
+                specs.append({"func": a.func, "values": vals, "valid": valid,
+                              "distinct": False,
+                              "acc_dtype": a.out_dtype.numpy_dtype})
+            group_codes, results, n_groups, _of = agg_ops.groupby_aggregate(
+                keys2, rvalid2, specs, max_groups, n_rows=rk2.shape[0])
+            gvalid = jnp.arange(max_groups) < n_groups
+            return (
+                tuple((c, n) for c, n in group_codes),
+                tuple((r[0],
+                       r[1] if r[1] is not None else jnp.ones(max_groups, bool))
+                      for r in results),
+                gvalid,
+                overflow.reshape(1),
+            )
+
+        if not agg.group_exprs:
+            raise NotDistributable("distributed join + global aggregate "
+                                   "(group keys required)")
+
+        def flatten(arrays):
+            flat = []
+            for d, v in arrays:
+                flat.append(d)
+                flat.append(v if v is not None else
+                            jax.device_put(np.zeros(0, dtype=bool),
+                                           row_sharding(self.mesh)))
+            return flat
+
+        gkeys, gresults, gvalid, overflow = jax.jit(program)(
+            l_rowmask, r_rowmask, *flatten(l_arrays), *flatten(r_arrays))
+        if int(np.asarray(overflow)[0]):
+            raise NotDistributable(
+                "distributed join capacities overflowed (data skew); "
+                "falling back to single-device execution")
+        return _gather_groups(agg, gkeys, gresults, gvalid)
 
 
 def _partition_key(key_pair):

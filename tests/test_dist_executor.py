@@ -86,3 +86,35 @@ def test_distributed_scaling_structure(engines):
     t1 = time.perf_counter() - t0
     # structural check only: both paths executed and returned in finite time
     assert t8 > 0 and t1 > 0
+
+
+def test_distributed_join_pipeline(engines):
+    """SQL join + group-by over the mesh (two shuffles + local join/agg)."""
+    dist, cpu = engines
+    rng = np.random.default_rng(77)
+    dist.register("dim", {
+        "k": np.arange(500, dtype=np.int64),
+        "w": rng.integers(0, 100, 500).astype(np.int64),
+    })
+    sql = ("SELECT d.w, COUNT(*) AS n, SUM(t.v) AS s FROM t "
+           "JOIN dim d ON t.k = d.k GROUP BY d.w")
+    got = dist.query(sql)
+    assert got.metrics["backend"] == "distributed", got.metrics
+    exp = cpu.query(sql)
+    g = got.to_pandas().sort_values(["w"]).reset_index(drop=True)
+    e = exp.to_pandas().sort_values(["w"]).reset_index(drop=True)
+    assert g.w.tolist() == e.w.tolist()
+    assert g.n.tolist() == e.n.tolist()
+    assert g.s.tolist() == e.s.tolist()
+
+
+def test_distributed_join_with_filter_and_having(engines):
+    dist, cpu = engines
+    sql = ("SELECT d.w, SUM(t.v) AS s FROM t JOIN dim d ON t.k = d.k "
+           "WHERE t.v > 0 GROUP BY d.w HAVING s > 1000 ORDER BY s DESC LIMIT 10")
+    got = dist.query(sql)
+    assert got.metrics["backend"] == "distributed"
+    exp = cpu.query(sql)
+    g, e = got.to_pandas(), exp.to_pandas()
+    assert g.w.tolist() == e.w.tolist()
+    assert g.s.tolist() == e.s.tolist()
