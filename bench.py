@@ -151,6 +151,8 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--scale", type=float, default=1.0,
                     help="scale factor on row counts")
+    ap.add_argument("--budget", type=float, default=5400.0,
+                    help="soft time budget (seconds); later configs skipped")
     args = ap.parse_args()
 
     if args.micro:
@@ -176,14 +178,23 @@ def main():
 
     results = {}
     t0 = time.time()
-    results["filter_agg"] = bench_filter_agg(sizes["filter_agg"], args.iters)
-    print(f"# filter_agg: {results['filter_agg']}", file=sys.stderr)
-    results["groupby"] = bench_groupby(*sizes["groupby"], args.iters)
-    print(f"# groupby: {results['groupby']}", file=sys.stderr)
-    results["join"] = bench_join(*sizes["join"], args.iters)
-    print(f"# join: {results['join']}", file=sys.stderr)
-    results["sortmerge"] = bench_sortmerge(*sizes["sortmerge"], args.iters)
-    print(f"# sortmerge: {results['sortmerge']}", file=sys.stderr)
+    # join first: it is the headline metric; remaining configs run within the
+    # time budget (remote TPU compiles can take many minutes each)
+    plan = [
+        ("join", lambda: bench_join(*sizes["join"], args.iters)),
+        ("groupby", lambda: bench_groupby(*sizes["groupby"], args.iters)),
+        ("filter_agg", lambda: bench_filter_agg(sizes["filter_agg"], args.iters)),
+        ("sortmerge", lambda: bench_sortmerge(*sizes["sortmerge"], args.iters)),
+    ]
+    for name, fn in plan:
+        if results and time.time() - t0 > args.budget:
+            print(f"# skipping {name}: over time budget", file=sys.stderr)
+            continue
+        try:
+            results[name] = fn()
+            print(f"# {name}: {results[name]}", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — partial results still reported
+            print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
 
     for name, res in results.items():
         res["vs_baseline"] = res["rows_per_sec"] / BASELINES[name]
@@ -200,10 +211,20 @@ def main():
         json.dump(payload, f, indent=2, default=str)
     print(f"# full results -> bench_results.json ({device})", file=sys.stderr)
 
-    headline = results["join"]
+    for pick in ("join", "groupby", "filter_agg", "sortmerge"):
+        if pick in results:
+            headline = results[pick]
+            break
+    else:
+        print(json.dumps({"metric": "bench_failed", "value": 0.0,
+                          "unit": "rows/s", "vs_baseline": 0.0}))
+        return
+    label = {"join": "inner_join_100Mx10M", "groupby": "groupby_100M_4Mgrp",
+             "filter_agg": "filter_agg_200M", "sortmerge": "sortmerge_25Mx25M"}[pick]
+    if args.quick:
+        label += "_quick"
     print(json.dumps({
-        "metric": "inner_join_100Mx10M_rows_per_sec" if not args.quick
-        else "inner_join_quick_rows_per_sec",
+        "metric": f"{label}_rows_per_sec",
         "value": round(headline["rows_per_sec"], 1),
         "unit": "rows/s",
         "vs_baseline": round(headline["vs_baseline"], 4),
