@@ -578,6 +578,9 @@ class _Interpreter:
                 "func": a.func, "values": data, "valid": valid,
                 "distinct": a.distinct, "acc_dtype": a.out_dtype.numpy_dtype,
                 "np_kind": _np_kind(a.arg.dtype),
+                # structural id of the argument expression: min/max specs over
+                # the same argument share the ride-the-sort fast path
+                "arg_id": a.arg,
                 # min/max over string codes is exact because dictionaries are
                 # sorted; the result column keeps the argument's dictionary
                 "dictionary": dictionary if a.out_dtype is DType.STRING else None,

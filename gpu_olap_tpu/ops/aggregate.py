@@ -112,7 +112,29 @@ def groupby_aggregate(
         key_ops.append(null.astype(jnp.int32))
         key_ops.append(code)
 
-    sorted_keys, payloads = _sort_with_payload(key_ops, [arange])
+    # MIN/MAX fast path: order the primary min/max value column within each
+    # group by riding it on the key sort — min = first valid value of the
+    # run, max = last, via boundary gathers (no segmented scan).  All
+    # min/max specs over the same argument expression share the ride.
+    primary = None
+    for spec in aggs:
+        if spec["func"] in ("min", "max") and not spec.get("distinct"):
+            primary = spec.get("arg_id")
+            if primary is not None:
+                break
+    ride_ops = []
+    if primary is not None:
+        spec0 = next(s_ for s_ in aggs
+                     if s_["func"] in ("min", "max") and s_.get("arg_id") == primary)
+        from .dtypes import key_code as _kc
+
+        pv_code, pv_null = _kc(spec0["values"], spec0.get("valid"),
+                               spec0.get("np_kind", "i"))
+        ride_ops = [pv_null.astype(jnp.int32), pv_code]
+
+    sorted_all, payloads = _sort_with_payload(key_ops + ride_ops, [arange])
+    sorted_keys = sorted_all[: len(key_ops)]
+    ride_sorted = sorted_all[len(key_ops):]
     perm = payloads[0]
     nvalid = n - jnp.sum(sorted_keys[0].astype(jnp.int64))
     in_prefix = arange < nvalid
@@ -142,11 +164,34 @@ def groupby_aggregate(
 
     results = []
     for spec in aggs:
+        if (primary is not None and spec["func"] in ("min", "max")
+                and not spec.get("distinct") and spec.get("arg_id") == primary):
+            results.append(
+                _minmax_by_ride(spec, ride_sorted, in_prefix, starts, ends, n)
+            )
+            continue
         results.append(
             _agg_one_sorted(spec, perm, gid, in_prefix, starts, ends,
                             key_ops, max_groups)
         )
     return group_codes, results, n_groups, overflow
+
+
+def _minmax_by_ride(spec, ride_sorted, in_prefix, starts, ends, n):
+    """MIN/MAX of the column that rode the key sort: within each group its
+    valid values are sorted ascending (nulls last), so min sits at the run
+    start and max at start + valid_count - 1."""
+    vnull_s, vcode_s = ride_sorted
+    v_valid_sorted = in_prefix & (vnull_s == 0)
+    cnt = _sum_by_boundary(v_valid_sorted.astype(jnp.int64), starts, ends)
+    has_any = cnt > 0
+    acc_dtype = spec["acc_dtype"]
+    if spec["func"] == "min":
+        pos = jnp.clip(starts, 0, n - 1)
+    else:
+        pos = jnp.clip(starts + cnt - 1, 0, n - 1)
+    out = vcode_s[pos].astype(acc_dtype)
+    return jnp.where(has_any, out, jnp.asarray(0, acc_dtype)), has_any
 
 
 def _agg_one_sorted(spec, perm, gid, in_prefix, starts, ends, key_ops,
