@@ -46,6 +46,10 @@ class EngineConfig:
     # most this many distinct slots, probe via a dense offset table (2 gathers
     # per probe row) instead of binary search.
     direct_join_max_range: int = 1 << 26
+    # Force a join strategy: None = cost/stats-based choice; "sort_merge"
+    # disables the lookup/direct fast paths; "broadcast_hash"/"radix_hash"
+    # keep them (reference JoinStrategy surface, join_kernel.rs:3-18).
+    join_strategy: Optional[str] = None
 
     # --- distribution ---
     mesh_shape: Optional[Tuple[int, ...]] = None   # None = single device

@@ -404,7 +404,8 @@ class _Interpreter:
         # direct-address probe eligibility: single key, stats-bounded build
         # range (strings qualify only when both sides share a dictionary)
         build_range = None
-        if len(rkeys) == 1 and rkeys[0]["range"] is not None:
+        if plan.strategy != "sort_merge" and len(rkeys) == 1 \
+                and rkeys[0]["range"] is not None:
             lk0, rk0 = lkeys[0], rkeys[0]
             rng = rk0["range"]
             span = int(rng[1]) - int(rng[0]) + 1
@@ -414,9 +415,11 @@ class _Interpreter:
                     and rk0["dtype"] is not DType.FLOAT64 and strings_ok):
                 build_range = (int(rng[0]), int(rng[1]))
         # expansion-free lookup join: unique, range-bounded build key
-        lookup = self._try_lookup_join(plan, left, right, lkeys, rkeys)
-        if lookup is not None:
-            return lookup
+        # ("sort_merge" strategy forces the sorted-probe core path)
+        if plan.strategy != "sort_merge":
+            lookup = self._try_lookup_join(plan, left, right, lkeys, rkeys)
+            if lookup is not None:
+                return lookup
 
         # unify dictionaries for string key pairs
         lkeys, rkeys = self._unify_string_keys(plan, left, right, lkeys, rkeys)

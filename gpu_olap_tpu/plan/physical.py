@@ -494,6 +494,10 @@ class _Planner:
 
     def _choose_join_strategy(self, left: PhysicalPlan, right: PhysicalPlan) -> str:
         """Strategy choice (reference ``join_kernel.rs:71-77`` thresholds)."""
+        if self.config.join_strategy is not None:
+            if self.config.join_strategy not in JOIN_STRATEGIES:
+                raise PlanError(f"Unknown join strategy {self.config.join_strategy!r}")
+            return self.config.join_strategy
         build_rows = self._estimate_rows(right)
         if build_rows is not None and build_rows <= self.config.broadcast_join_threshold:
             return "broadcast_hash"

@@ -128,3 +128,15 @@ def _find(plan, cls):
 
     walk(plan)
     return out
+
+
+def test_join_strategy_override(engine):
+    from conftest import make_engine
+
+    eng = make_engine("cpu", join_strategy="sort_merge")
+    eng.catalog = engine.catalog
+    plan = eng.plan_query(
+        "SELECT s.amount FROM sales s JOIN customers c ON s.customer_id = c.customer_id"
+    )
+    j = _find(plan, P.TpuHashJoin)[0]
+    assert j.strategy == "sort_merge"
