@@ -174,8 +174,6 @@ def compute_stats(batch: ColumnBatch) -> dict:
     """Zone-map style per-column (min, max) for integer-typed columns."""
     import numpy as np
 
-    from .interop.columnar import DType
-
     stats = {}
     for f, c in zip(batch.schema, batch.columns):
         if f.dtype.numpy_dtype != np.dtype(np.int64) or batch.num_rows == 0:

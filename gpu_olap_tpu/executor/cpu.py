@@ -9,13 +9,12 @@ and serves as the parity oracle for the TPU executor, per SURVEY.md §4.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from ..config import EngineConfig
-from ..interop.columnar import Column, ColumnBatch, DType, Field, Schema
+from ..interop.columnar import Column, ColumnBatch, DType
 from ..plan import physical as P
 from ..utils.tracing import get_logger
 
@@ -419,7 +418,6 @@ class CpuExecutor:
             target = self.eval_expr(e.args[0], batch)
             pat = e.args[1]
             assert isinstance(pat, P.PhysLiteral)
-            import fnmatch
             import re
             regex = re.compile(
                 "^" + re.escape(str(pat.value)).replace("%", ".*").replace("_", ".") + "$",

@@ -13,12 +13,12 @@ aggregates (SUM/COUNT/MIN/MAX/AVG as sum+count).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
 from ..config import EngineConfig
-from ..interop.columnar import Column, ColumnBatch, DType, Schema
+from ..interop.columnar import Column, ColumnBatch, DType
 from ..mem.feeder import DeviceFeeder
 from ..ops import aggregate as agg_ops
 from ..ops import filter as filter_ops

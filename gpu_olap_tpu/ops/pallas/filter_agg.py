@@ -14,10 +14,6 @@ this is the speed-of-light shape for BASELINE config 1.
 
 from __future__ import annotations
 
-import functools
-
-import numpy as np
-
 from ...utils.jaxenv import ensure_jax
 
 jax = ensure_jax()

@@ -11,8 +11,6 @@ Used for shuffle capacity planning / skew detection on large key columns.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ...utils.jaxenv import ensure_jax
 
 jax = ensure_jax()

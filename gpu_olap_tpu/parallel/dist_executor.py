@@ -25,7 +25,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..config import EngineConfig
-from ..interop.columnar import Column, ColumnBatch, DType, Schema
+from ..interop.columnar import Column, ColumnBatch, DType
 from ..ops import aggregate as agg_ops
 from ..ops import join as join_ops
 from ..ops.dtypes import key_code

@@ -10,7 +10,7 @@ collective with the local sort/probe pipeline.
 from __future__ import annotations
 
 import functools
-from typing import List, Sequence
+from typing import Sequence
 
 from ..utils.jaxenv import ensure_jax
 

@@ -9,7 +9,7 @@ axis, shuffles as all-to-all.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 from ..utils.jaxenv import ensure_jax
 

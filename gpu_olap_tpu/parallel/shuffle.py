@@ -14,7 +14,6 @@ host-side growth, and skew-aware capacity headroom comes from
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
 
 from ..utils.jaxenv import ensure_jax
 

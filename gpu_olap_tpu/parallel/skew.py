@@ -15,7 +15,6 @@ Zipfian key distribution then caps scaling at the hottest device.  Strategy
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 

@@ -12,7 +12,7 @@ IS NULL/CASE expressions, and real aggregate extraction (the reference leaves
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 # ---------------------------------------------------------------------------
 # Expressions

@@ -14,7 +14,7 @@ hash join, ``:140-155``).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 from ..config import EngineConfig
 from ..interop.columnar import DType, Field, Schema
