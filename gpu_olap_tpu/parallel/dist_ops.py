@@ -102,6 +102,90 @@ def make_dist_join(mesh, capacity: int, join_capacity: int,
     return jax.jit(_dist_join)
 
 
+def make_dist_join_groupby_skew(mesh, capacity: int, join_capacity: int,
+                                max_groups: int, agg_funcs: Sequence[str],
+                                heavy_keys, heavy_build_cap: int):
+    """Skew-aware variant of the fused join+group-by step (BASELINE config 5,
+    Zipfian keys): rows carrying *heavy* keys (host-side detection,
+    ``skew.detect_heavy_keys``) bypass the hash shuffle — their build rows are
+    replicated to every device with ``all_gather`` (the reference's broadcast
+    join escape hatch, ``join_kernel.rs:62-77``) and their probe rows join
+    locally, so no single device receives the hot key's full probe mass.
+    Light keys take the normal hash-partition shuffle."""
+    ndev = mesh.devices.size
+    import numpy as np
+
+    from .skew import split_by_heavy
+
+    heavy_keys = np.asarray(heavy_keys, dtype=np.int64)
+
+    in_specs = (P(AXIS),) * 6
+    out_specs = (P(AXIS), tuple(P(AXIS) for _ in agg_funcs), P(AXIS))
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    def _step(lkeys, lvalid, lval, rkeys, rvalid, rval):
+        lheavy = split_by_heavy(lkeys, heavy_keys)
+        rheavy = split_by_heavy(rkeys, heavy_keys)
+
+        # --- light side: hash shuffle + local join --------------------
+        slk, (slval,), slv, _ = shuffle_rows_local(
+            lkeys, [lval], lvalid & ~lheavy, ndev, capacity)
+        srk, (srval,), srv, _ = shuffle_rows_local(
+            rkeys, [rval], rvalid & ~rheavy, ndev, capacity)
+        li, ri, lo_valid, _t1, _o1, _c1 = join_ops.inner_join(
+            [(slk, jnp.zeros_like(slv))], slv,
+            [(srk, jnp.zeros_like(srv))], srv,
+            join_capacity,
+        )
+        safe_l = jnp.clip(li, 0, slk.shape[0] - 1)
+        safe_r = jnp.clip(ri, 0, srk.shape[0] - 1)
+        light_key = slk[safe_l]
+        light_val = slval[safe_l] * srval[safe_r]
+
+        # --- heavy side: broadcast build rows, probe locally ----------
+        from ..ops.filter import compaction_indices
+
+        hb_mask = rvalid & rheavy
+        gidx, hb_count = compaction_indices(hb_mask)
+        slots = jnp.arange(heavy_build_cap)
+        src = gidx[jnp.clip(slots, 0, gidx.shape[0] - 1)]
+        hb_keys_local = rkeys[src]
+        hb_vals_local = rval[src]
+        hb_valid_local = slots < jnp.minimum(
+            hb_count, jnp.minimum(heavy_build_cap, gidx.shape[0]))
+        hb_keys = jax.lax.all_gather(hb_keys_local, AXIS).reshape(-1)
+        hb_vals = jax.lax.all_gather(hb_vals_local, AXIS).reshape(-1)
+        hb_valid = jax.lax.all_gather(hb_valid_local, AXIS).reshape(-1)
+
+        hp_valid = lvalid & lheavy
+        hi_, ri2, h_valid, _t2, _o2, _c2 = join_ops.inner_join(
+            [(lkeys, jnp.zeros_like(lvalid))], hp_valid,
+            [(hb_keys, jnp.zeros_like(hb_valid))], hb_valid,
+            join_capacity,
+        )
+        safe_hl = jnp.clip(hi_, 0, lkeys.shape[0] - 1)
+        safe_hr = jnp.clip(ri2, 0, hb_keys.shape[0] - 1)
+        heavy_key = lkeys[safe_hl]
+        heavy_val = lval[safe_hl] * hb_vals[safe_hr]
+
+        # --- combine + local group-by ---------------------------------
+        jkey = jnp.concatenate([light_key, heavy_key])
+        jval = jnp.concatenate([light_val, heavy_val])
+        jvalid = jnp.concatenate([lo_valid, h_valid])
+        specs = [{"func": f, "values": jval, "valid": None, "distinct": False,
+                  "acc_dtype": jnp.int64 if f == "count" else jval.dtype}
+                 for f in agg_funcs]
+        group_codes, results, n_groups, _ = agg_ops.groupby_aggregate(
+            [(jkey, jnp.zeros_like(jvalid))], jvalid, specs, max_groups,
+            n_rows=jkey.shape[0],
+        )
+        gvalid = jnp.arange(max_groups) < n_groups
+        return group_codes[0][0], tuple(r[0] for r in results), gvalid
+
+    return jax.jit(_step)
+
+
 def make_dist_join_groupby(mesh, capacity: int, join_capacity: int,
                            max_groups: int, agg_funcs: Sequence[str]):
     """The fused flagship step: distributed shuffle join feeding a group-by —

@@ -157,3 +157,40 @@ def test_skew_detection():
     assert hist.sum() == len(keys)
     cap = skew.recommend_capacity(hist)
     assert cap >= hist.max()
+
+
+def test_skew_hybrid_join_groupby(mesh8):
+    """Zipfian probe keys: heavy keys broadcast, light keys shuffled; results
+    merged on host (heavy-key partials appear on several devices)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    n = 8 * 1024
+    # hot key 7 dominates
+    lk = np.where(rng.random(n) < 0.6, 7, rng.integers(0, 64, n)).astype(np.int64)
+    lv = rng.integers(1, 10, n).astype(np.int64)
+    rk = np.arange(64, dtype=np.int64).repeat(4)  # 256 build rows, 4 dups/key
+    rk = np.resize(rk, 8 * 32)
+    rv = rng.integers(1, 5, rk.shape[0]).astype(np.int64)
+
+    heavy = skew.detect_heavy_keys(lk, row_threshold=n // 10)
+    assert 7 in heavy.tolist()
+
+    fn = dist_ops.make_dist_join_groupby_skew(
+        mesh8, capacity=2048, join_capacity=65536, max_groups=256,
+        agg_funcs=("sum", "count"), heavy_keys=heavy, heavy_build_cap=64,
+    )
+    gk, (s, c), gvalid = fn(
+        _shard(mesh8, lk), _shard(mesh8, np.ones(n, bool)), _shard(mesh8, lv),
+        _shard(mesh8, rk), _shard(mesh8, np.ones(rk.shape[0], bool)), _shard(mesh8, rv),
+    )
+    gk, s, c, gvalid = map(np.asarray, (gk, s, c, gvalid))
+    got = (pd.DataFrame({"k": gk[gvalid], "s": s[gvalid], "c": c[gvalid]})
+           .groupby("k").sum().reset_index())  # host merge of heavy partials
+    j = pd.DataFrame({"k": lk, "lv": lv}).merge(
+        pd.DataFrame({"k": rk, "rv": rv}), on="k")
+    j["m"] = j.lv * j.rv
+    exp = j.groupby("k").agg(s=("m", "sum"), c=("m", "count")).reset_index()
+    assert got.k.tolist() == exp.k.tolist()
+    assert got.s.tolist() == exp.s.tolist()
+    assert got.c.tolist() == exp.c.tolist()
