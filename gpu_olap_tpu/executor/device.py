@@ -87,10 +87,18 @@ def _np_kind(dtype: DType) -> str:
 
 
 def _shape_bucket(n: int, config: EngineConfig) -> int:
+    """Static-shape padding bucket for a table of ``n`` rows.
+
+    Buckets are multiples of the largest power of two <= n/8 (eight steps per
+    octave), so padding waste is bounded at 12.5% — a pure-power-of-two ladder
+    taxes every downstream sort/gather by up to 2x — while the number of
+    distinct compiled shapes stays logarithmic."""
     b = max(config.min_shape_bucket, 1)
-    while b < n:
-        b = int(b * config.shape_bucket_growth)
-    return b
+    if n <= b:
+        return b
+    chunk = 1 << max((n - 1).bit_length() - 3, 0)
+    chunk = max(chunk, b)
+    return -(-n // chunk) * chunk
 
 
 def _dicts_equal(a: Optional[np.ndarray], b: Optional[np.ndarray]) -> bool:
@@ -183,11 +191,15 @@ class DeviceExecutor:
         walk(plan)
         out = {}
         for name in sorted(names):
-            host = self.catalog.get_table_data(name).to_numpy()
+            # device residency is keyed on the catalog's table version — NOT
+            # object identity, which would re-pad + re-upload the table
+            # through the (slow) host->device link on every query
+            ver = self.catalog.get_version(name)
             cached = self._table_cache.get(name)
-            if cached is not None and cached[0] == id(host):
+            if cached is not None and cached[0] == ver:
                 out[name] = cached[1]
                 continue
+            host = self.catalog.get_table_data(name).to_numpy()
             cap = _shape_bucket(max(host.num_rows, 1), self.config)
             arrays = []
             dicts = []
@@ -236,7 +248,7 @@ class DeviceExecutor:
                 "ranges": ranges,
                 "uniques": uniques,
             }
-            self._table_cache[name] = (id(host), entry)
+            self._table_cache[name] = (ver, entry)
             out[name] = entry
         return out
 
@@ -557,6 +569,10 @@ class _Interpreter:
         for g in plan.group_exprs:
             data, valid, dictionary = self.eval_expr(g, batch)
             code, null = key_code(data, valid, _np_kind(g.dtype))
+            if valid is None and _np_kind(g.dtype) != "f":
+                null = None  # statically null-free: drops a sort operand
+            if self._int32_ok(g, batch) and code.dtype == jnp.int64:
+                code = code.astype(jnp.int32)  # zone-map narrow fast path
             keys.append((code, null))
             key_meta.append((g.dtype, dictionary))
 
@@ -581,6 +597,7 @@ class _Interpreter:
                 "func": a.func, "values": data, "valid": valid,
                 "distinct": a.distinct, "acc_dtype": a.out_dtype.numpy_dtype,
                 "np_kind": _np_kind(a.arg.dtype),
+                "int32_ok": self._int32_ok(a.arg, batch),
                 # structural id of the argument expression: min/max specs over
                 # the same argument share the ride-the-sort fast path
                 "arg_id": a.arg,
@@ -654,6 +671,10 @@ class _Interpreter:
         key_meta = []
         for f, c in zip(batch.schema, batch.cols):
             code, null = key_code(c.data, c.validity, _np_kind(f.dtype))
+            if c.validity is None and _np_kind(f.dtype) != "f":
+                null = None  # statically null-free: drops a sort operand
+            if c.int32_ok and f.dtype is not DType.FLOAT64 and code.dtype == jnp.int64:
+                code = code.astype(jnp.int32)
             keys.append((code, null))
             key_meta.append((f.dtype, c.dictionary))
         cap_key = ("distinct", path)
