@@ -74,8 +74,15 @@ class DevBatch:
     cols: List[DevCol]
     capacity: int
     row_valid: Optional[jnp.ndarray]  # None = all rows valid
+    # when row_valid is exactly ``arange(capacity) < prefix_rows`` with a
+    # trace-time-constant prefix_rows (pure scans and row-preserving ops over
+    # them), sort-based operators can sentinel-mask keys instead of carrying a
+    # validity operand through every merge pass
+    prefix_rows: Optional[int] = None
 
     def count(self):
+        if self.prefix_rows is not None:
+            return jnp.asarray(self.prefix_rows, dtype=jnp.int64)
         if self.row_valid is None:
             return jnp.asarray(self.capacity, dtype=jnp.int64)
         return jnp.sum(self.row_valid.astype(jnp.int64))
@@ -381,9 +388,11 @@ class _Interpreter:
         cap = tmeta["capacity"]
         n = tmeta["num_rows"]
         row_valid = None
+        prefix = None
         if n < cap:
             row_valid = jnp.arange(cap) < n
-        return DevBatch(plan.schema, cols, cap, row_valid)
+            prefix = n
+        return DevBatch(plan.schema, cols, cap, row_valid, prefix)
 
     def _filter(self, plan: P.TpuFilter, path) -> DevBatch:
         batch = self.exec(plan.input, path + (0,))
@@ -401,7 +410,8 @@ class _Interpreter:
                                src.int32_ok if src else False,
                                src.value_range if src else None,
                                src.unique if src else False))
-        return DevBatch(plan.schema, cols, batch.capacity, batch.row_valid)
+        return DevBatch(plan.schema, cols, batch.capacity, batch.row_valid,
+                        batch.prefix_rows)
 
     def _join(self, plan: P.TpuHashJoin, path) -> DevBatch:
         left = self.exec(plan.left, path + (0,))
@@ -413,19 +423,7 @@ class _Interpreter:
 
         lkeys = [self._key_of(k, left) for k in plan.left_keys]
         rkeys = [self._key_of(k, right) for k in plan.right_keys]
-        # direct-address probe eligibility: single key, stats-bounded build
-        # range (strings qualify only when both sides share a dictionary)
-        build_range = None
-        if plan.strategy != "sort_merge" and len(rkeys) == 1 \
-                and rkeys[0]["range"] is not None:
-            lk0, rk0 = lkeys[0], rkeys[0]
-            rng = rk0["range"]
-            span = int(rng[1]) - int(rng[0]) + 1
-            strings_ok = (rk0["dtype"] is not DType.STRING
-                          or _dicts_equal(lk0["dict"], rk0["dict"]))
-            if (0 < span <= self.config.direct_join_max_range
-                    and rk0["dtype"] is not DType.FLOAT64 and strings_ok):
-                build_range = (int(rng[0]), int(rng[1]))
+        build_range = self._direct_range(plan, lkeys, rkeys)
         # expansion-free lookup join: unique, range-bounded build key
         # ("sort_merge" strategy forces the sorted-probe core path)
         if plan.strategy != "sort_merge":
@@ -433,18 +431,7 @@ class _Interpreter:
             if lookup is not None:
                 return lookup
 
-        # unify dictionaries for string key pairs
-        lkeys, rkeys = self._unify_string_keys(plan, left, right, lkeys, rkeys)
-        # both sides of each key pair must share an operand dtype
-        unified = []
-        for (lc, ln), (rc, rn) in zip(lkeys, rkeys):
-            if lc.dtype != rc.dtype:
-                common = jnp.promote_types(lc.dtype, rc.dtype)
-                lc = lc.astype(common)
-                rc = rc.astype(common)
-            unified.append(((lc, ln), (rc, rn)))
-        lkeys = [u[0] for u in unified]
-        rkeys = [u[1] for u in unified]
+        lkeys, rkeys = self._unified_key_tuples(plan, left, right, lkeys, rkeys)
 
         cap_key = ("join", path)
         # initial guess covers FK-style joins (matches ~ probe rows) without a
@@ -484,10 +471,9 @@ class _Interpreter:
             out = DevBatch(plan.schema, cols, out_cap, mask)
         return out
 
-    def _try_lookup_join(self, plan, left: DevBatch, right: DevBatch,
-                         lkeys, rkeys) -> Optional[DevBatch]:
-        if plan.join_type not in ("inner", "left"):
-            return None
+    def _lookup_range(self, plan, right: DevBatch):
+        """Lookup-join eligibility: single int key, build side proven unique
+        with a stats-bounded range.  Returns (kmin, kmax) or None."""
         if len(plan.left_keys) != 1:
             return None
         rexpr = plan.right_keys[0]
@@ -503,6 +489,15 @@ class _Interpreter:
         if plan.left_keys[0].dtype is DType.FLOAT64 or rexpr.dtype is DType.FLOAT64:
             return None
         if rexpr.dtype is DType.STRING or plan.left_keys[0].dtype is DType.STRING:
+            return None
+        return (int(rng[0]), int(rng[1]))
+
+    def _try_lookup_join(self, plan, left: DevBatch, right: DevBatch,
+                         lkeys, rkeys) -> Optional[DevBatch]:
+        if plan.join_type not in ("inner", "left"):
+            return None
+        rng = self._lookup_range(plan, right)
+        if rng is None:
             return None
 
         lk, rk = lkeys[0], rkeys[0]
@@ -545,6 +540,34 @@ class _Interpreter:
                 and batch.cols[expr.index].int32_ok
                 and expr.dtype is not DType.FLOAT64)
 
+    def _direct_range(self, plan, lkeys, rkeys):
+        """Direct-address probe eligibility: single key, stats-bounded build
+        range (strings qualify only when both sides share a dictionary)."""
+        if plan.strategy == "sort_merge" or len(rkeys) != 1 \
+                or rkeys[0]["range"] is None:
+            return None
+        lk0, rk0 = lkeys[0], rkeys[0]
+        rng = rk0["range"]
+        span = int(rng[1]) - int(rng[0]) + 1
+        strings_ok = (rk0["dtype"] is not DType.STRING
+                      or _dicts_equal(lk0["dict"], rk0["dict"]))
+        if (0 < span <= self.config.direct_join_max_range
+                and rk0["dtype"] is not DType.FLOAT64 and strings_ok):
+            return (int(rng[0]), int(rng[1]))
+        return None
+
+    def _unified_key_tuples(self, plan, left, right, lkeys, rkeys):
+        """Dictionary-unified, dtype-promoted (code, null) tuples per side."""
+        lkeys, rkeys = self._unify_string_keys(plan, left, right, lkeys, rkeys)
+        unified = []
+        for (lc, ln), (rc, rn) in zip(lkeys, rkeys):
+            if lc.dtype != rc.dtype:
+                common = jnp.promote_types(lc.dtype, rc.dtype)
+                lc = lc.astype(common)
+                rc = rc.astype(common)
+            unified.append(((lc, ln), (rc, rn)))
+        return [u[0] for u in unified], [u[1] for u in unified]
+
     def _unify_string_keys(self, plan, left, right, lkeys, rkeys):
         lout, rout = [], []
         for lk, rk, le, re_ in zip(lkeys, rkeys, plan.left_keys, plan.right_keys):
@@ -562,7 +585,107 @@ class _Interpreter:
             rout.append((rk["code"], rk["null"]))
         return lout, rout
 
+    # -- eager aggregation through joins (group-join) -------------------
+    def _join_match_counts(self, plan: P.TpuHashJoin, left: DevBatch,
+                           right: DevBatch) -> jnp.ndarray:
+        """Per-probe-row match counts of an inner join, without materializing
+        the match buffer (no ``repeat`` expansion, no output gathers)."""
+        lkeys = [self._key_of(k, left) for k in plan.left_keys]
+        rkeys = [self._key_of(k, right) for k in plan.right_keys]
+        if plan.strategy != "sort_merge":
+            rng = self._lookup_range(plan, right)
+            if rng is not None:
+                lk, rk = lkeys[0], rkeys[0]
+                rinv = (rk["null"] if right.row_valid is None
+                        else (rk["null"] | ~right.row_valid))
+                pinv = (lk["null"] if left.row_valid is None
+                        else (lk["null"] | ~left.row_valid))
+                _, matched = join_ops.lookup_join(
+                    rk["code"], rinv, rng[0], rng[1], lk["code"], pinv)
+                return matched.astype(jnp.int64)
+        build_range = self._direct_range(plan, lkeys, rkeys)
+        lkeys_t, rkeys_t = self._unified_key_tuples(plan, left, right,
+                                                    lkeys, rkeys)
+        lcode, linv, rcode, rinv = join_ops._prepare_codes(
+            lkeys_t, left.row_valid, rkeys_t, right.row_valid, True)
+        sk, srow, nbv = join_ops.build_sorted(rcode, rinv)
+        if build_range is not None and len(lkeys_t) == 1:
+            _, cnt = join_ops.direct_probe(
+                sk, srow, nbv, build_range[0], build_range[1], lcode, linv)
+        else:
+            _, cnt = join_ops.probe_counts(sk, nbv, lcode, linv)
+        return cnt.astype(jnp.int64)
+
+    def _try_join_aggregate(self, plan: P.TpuAggregate,
+                            path) -> Optional[DevBatch]:
+        """Global aggregate over an inner join computed from match counts —
+        the group-join / eager-aggregation rewrite.  Eligible when every
+        aggregate is COUNT(*) or SUM/COUNT/AVG/MIN/MAX over probe-side-only
+        expressions: SUM weights rows by match multiplicity, COUNT sums
+        multiplicities, MIN/MAX ignore them.  Skips the match-buffer
+        expansion entirely (and with it all capacity-overflow recompiles)."""
+        join = plan.input
+        if join.join_type != "inner" or join.residual is not None:
+            return None
+        n_left_cols = len(join.left.schema)
+        for a in plan.aggs:
+            if a.distinct:
+                return None
+            if a.arg is None:
+                if a.func != "count":
+                    return None
+                continue
+            if a.func not in ("sum", "count", "avg", "min", "max"):
+                return None
+            if any(i >= n_left_cols for i in _expr_col_indices(a.arg)):
+                return None
+
+        left = self.exec(join.left, path + (0, 0))
+        right = self.exec(join.right, path + (0, 1))
+        cnt = self._join_match_counts(join, left, right)
+        participates = cnt > 0
+
+        cols = []
+        for a in plan.aggs:
+            if a.arg is None:
+                cols.append(DevCol(jnp.sum(cnt).reshape(1), None))
+                continue
+            data, valid, dictionary = self.eval_expr(a.arg, left)
+            v_ok = participates if valid is None else (participates & valid)
+            c = jnp.sum(jnp.where(v_ok, cnt, 0))
+            has = (c > 0).reshape(1)
+            acc = a.out_dtype.numpy_dtype
+            if a.func == "count":
+                cols.append(DevCol(c.reshape(1), None))
+            elif a.func == "sum":
+                s = jnp.sum(jnp.where(v_ok, data.astype(acc) * cnt.astype(acc),
+                                      jnp.asarray(0, acc)))
+                cols.append(DevCol(s.reshape(1), has))
+            elif a.func == "avg":
+                s = jnp.sum(jnp.where(
+                    v_ok, data.astype(jnp.float64) * cnt.astype(jnp.float64),
+                    0.0))
+                avg = s / jnp.maximum(c, 1).astype(jnp.float64)
+                cols.append(DevCol(jnp.where(c > 0, avg, 0.0).reshape(1), has))
+            else:  # min / max: multiplicity-independent masked reduction
+                if np.dtype(acc).kind == "f":
+                    ident = np.inf if a.func == "min" else -np.inf
+                else:
+                    ident = (np.iinfo(np.int64).max if a.func == "min"
+                             else np.iinfo(np.int64).min)
+                masked = jnp.where(v_ok, data.astype(acc),
+                                   jnp.asarray(ident, acc))
+                red = jnp.min(masked) if a.func == "min" else jnp.max(masked)
+                out = jnp.where(c > 0, red, jnp.asarray(0, acc)).reshape(1)
+                dct = dictionary if a.out_dtype is DType.STRING else None
+                cols.append(DevCol(out, has, dct))
+        return DevBatch(plan.schema, cols, 1, None)
+
     def _aggregate(self, plan: P.TpuAggregate, path) -> DevBatch:
+        if not plan.group_exprs and isinstance(plan.input, P.TpuHashJoin):
+            fast = self._try_join_aggregate(plan, path)
+            if fast is not None:
+                return fast
         batch = self.exec(plan.input, path + (0,))
         keys = []
         key_meta = []
@@ -607,7 +730,8 @@ class _Interpreter:
             })
 
         group_codes, results, n_groups, overflow = agg_ops.groupby_aggregate(
-            keys, batch.row_valid, specs, max_groups, n_rows=batch.capacity
+            keys, batch.row_valid, specs, max_groups, n_rows=batch.capacity,
+            prefix_rows=batch.prefix_rows,
         )
         if plan.group_exprs:
             self._push_flag(cap_key, overflow)
@@ -650,7 +774,9 @@ class _Interpreter:
         n = batch.capacity
         limit = plan.limit if plan.limit is not None else n
         row_valid = jnp.arange(n) < jnp.minimum(count, limit)
-        return DevBatch(plan.schema, cols, n, row_valid)
+        prefix = (min(batch.prefix_rows, limit)
+                  if batch.prefix_rows is not None else None)
+        return DevBatch(plan.schema, cols, n, row_valid, prefix)
 
     def _limit(self, plan: P.TpuLimit, path) -> DevBatch:
         batch = self.exec(plan.input, path + (0,))
@@ -663,7 +789,11 @@ class _Interpreter:
         mask = rv & (pos > lo)
         if hi is not None:
             mask = mask & (pos <= hi)
-        return DevBatch(plan.schema, batch.cols, batch.capacity, mask)
+        prefix = None
+        if batch.prefix_rows is not None and lo == 0:
+            prefix = (min(batch.prefix_rows, hi) if hi is not None
+                      else batch.prefix_rows)
+        return DevBatch(plan.schema, batch.cols, batch.capacity, mask, prefix)
 
     def _distinct(self, plan: P.TpuDistinct, path) -> DevBatch:
         batch = self.exec(plan.input, path + (0,))
@@ -681,7 +811,8 @@ class _Interpreter:
         max_groups = self.cap_override.get(cap_key, batch.capacity)
         self.meta["capacities"][cap_key] = max_groups
         group_codes, _, n_groups, overflow = agg_ops.groupby_aggregate(
-            keys, batch.row_valid, [], max_groups, n_rows=batch.capacity
+            keys, batch.row_valid, [], max_groups, n_rows=batch.capacity,
+            prefix_rows=batch.prefix_rows,
         )
         self._push_flag(cap_key, overflow)
         cols = [
@@ -929,6 +1060,32 @@ def _gather_col(c: DevCol, idx, out_valid) -> DevCol:
     else:
         valid = c.validity[safe] & ~pad
     return DevCol(data, valid, c.dictionary, c.int32_ok, c.value_range)
+
+
+def _expr_col_indices(expr: P.PhysExpr) -> List[int]:
+    """All ColumnRef indices referenced by a physical expression."""
+    out: List[int] = []
+
+    def walk(e):
+        if isinstance(e, P.ColumnRef):
+            out.append(e.index)
+        elif isinstance(e, P.PhysBinary):
+            walk(e.left)
+            walk(e.right)
+        elif isinstance(e, (P.PhysUnary, P.PhysIsNull, P.PhysInList)):
+            walk(e.operand)
+        elif isinstance(e, P.PhysCase):
+            for cond, val in e.branches:
+                walk(cond)
+                walk(val)
+            if e.default is not None:
+                walk(e.default)
+        elif isinstance(e, P.PhysFunc):
+            for a in e.args:
+                walk(a)
+
+    walk(expr)
+    return out
 
 
 def _decode_key(code, null, dtype: DType, dictionary) -> DevCol:

@@ -87,11 +87,19 @@ def groupby_aggregate(
     aggs: Sequence[dict],
     max_groups: int,
     n_rows: Optional[int] = None,
+    prefix_rows: Optional[int] = None,
 ):
     """Grouped aggregation over padded columns.
 
     ``keys`` entries are (code, null_flags) — null_flags may be None when the
     key is statically null-free (drops a sort operand).
+
+    ``prefix_rows``: when row validity is exactly ``arange < prefix_rows``
+    with a trace-time constant (pure scans), padded rows are sentinel-masked
+    into the first key operand instead of carrying a validity lane through
+    every sort merge pass; int32-narrowed null-free keys then need NO
+    validity operand at all (zone-map headroom guarantees the sentinel is
+    collision-free).
 
     ``aggs`` entries: {func, values (jnp or None for count(*)), valid (jnp|None),
     distinct (bool), acc_dtype (np dtype), np_kind, arg_id, int32_ok (bool)}.
@@ -111,12 +119,30 @@ def groupby_aggregate(
         return _global_aggregate(aggs, row_valid, n)
 
     arange32 = jnp.arange(n, dtype=jnp.int32)
+    if prefix_rows is not None:
+        row_valid = None  # equivalent, applied statically below
     inv = None if row_valid is None else (~row_valid).astype(jnp.int32)
 
     # ---- key operands: fold row validity into the first null flag ----
     k0_code, k0_null = keys[0]
     k0n = None if k0_null is None else k0_null.astype(jnp.int32)
-    if inv is not None and k0n is not None:
+    static_prefix = None
+    if prefix_rows is not None:
+        static_prefix = int(prefix_rows)
+        pad = arange32 >= np.int32(static_prefix)
+        if k0n is not None:
+            # pads (2) sort after null-key rows (1) after plain rows (0)
+            first = jnp.where(pad, np.int32(2), k0n)
+            inv_thr, k0_in_first = None, True
+        elif k0_code.dtype == jnp.int32:
+            # int32 narrowing proved headroom below INT32_MAX: sentinel-mask
+            # the key itself — zero validity operands in the sort
+            k0_code = jnp.where(pad, np.int32(np.iinfo(np.int32).max), k0_code)
+            first, inv_thr, k0_in_first = None, None, False
+        else:
+            first = pad.astype(jnp.int32)
+            inv_thr, k0_in_first = None, False
+    elif inv is not None and k0n is not None:
         first, inv_thr, k0_in_first = inv * 2 + k0n, 2, True
     elif inv is not None:
         first, inv_thr, k0_in_first = inv, 1, False
@@ -249,7 +275,10 @@ def groupby_aggregate(
     sorted_ops = jax.lax.sort(tuple(operands), num_keys=num_keys)
 
     first_s = sorted_ops[0] if first is not None else None
-    if inv_thr is not None:
+    if static_prefix is not None:
+        # padded rows sort last by construction; the prefix is a constant
+        in_prefix = arange32 < np.int32(static_prefix)
+    elif inv_thr is not None:
         nvalid = n - jnp.sum((first_s >= inv_thr).astype(jnp.int32))
         in_prefix = arange32 < nvalid
     else:
@@ -322,7 +351,7 @@ def groupby_aggregate(
             results.append((sizes64, None))
         elif kind == "distinct":
             results.append(_count_distinct(spec, key_ops, inv_thr,
-                                           max_groups, n))
+                                           static_prefix, max_groups, n))
         elif kind == "primary":
             func = spec["func"]
             has = ride_cnt > 0
@@ -409,7 +438,7 @@ def _agg_one_fallback(spec, perm, gid, in_prefix, starts, ends, n):
     return jnp.where(has_any, out, jnp.asarray(0, acc_dtype)), has_any
 
 
-def _count_distinct(spec, key_ops, inv_thr, max_groups, n):
+def _count_distinct(spec, key_ops, inv_thr, static_prefix, max_groups, n):
     """COUNT(DISTINCT x): secondary sort ordered by (group keys, x), distinct
     flags from adjacency, cumsum + boundary diff."""
     values = spec["values"]
@@ -419,7 +448,9 @@ def _count_distinct(spec, key_ops, inv_thr, max_groups, n):
     ops = list(key_ops) + ([vnull.astype(jnp.int32)] if nullable else []) + [vcode]
     sorted2 = jax.lax.sort(tuple(ops), num_keys=len(ops))
     arange32 = jnp.arange(n, dtype=jnp.int32)
-    if inv_thr is not None:
+    if static_prefix is not None:
+        in_pref2 = arange32 < np.int32(static_prefix)
+    elif inv_thr is not None:
         nvalid2 = n - jnp.sum((sorted2[0] >= inv_thr).astype(jnp.int32))
         in_pref2 = arange32 < nvalid2
     else:

@@ -23,24 +23,26 @@ def order_by_permutation(
     row_valid: Optional[jnp.ndarray],
     n: int,
 ):
-    """Return a permutation placing valid rows first in requested order."""
-    arange = jnp.arange(n, dtype=jnp.int64)
+    """Return a permutation placing valid rows first in requested order.
+
+    Sort-operand minimal: the validity lane and per-key null lanes are only
+    materialized when they can actually vary (every operand rides every merge
+    pass of the sort), and the permutation payload is int32 (row counts are
+    < 2^31 by construction)."""
+    arange = jnp.arange(n, dtype=jnp.int32)
     ops = []
     if row_valid is not None:
         ops.append((~row_valid).astype(jnp.int32))
-    else:
-        ops.append(jnp.zeros(n, dtype=jnp.int32))
     for k in keys:
         codes = k["codes"]
         if not k["ascending"]:
             codes = -codes  # codes are clipped by order_code, negation is safe
         nulls = k.get("nulls")
-        if nulls is None:
-            nulls = jnp.zeros(n, dtype=bool)
-        null_op = nulls.astype(jnp.int32)
-        if not k.get("nulls_last", True):
-            null_op = 1 - null_op
-        ops.append(null_op)
+        if nulls is not None:
+            null_op = nulls.astype(jnp.int32)
+            if not k.get("nulls_last", True):
+                null_op = 1 - null_op
+            ops.append(null_op)
         ops.append(codes)
     res = jax.lax.sort(tuple(ops) + (arange,), num_keys=len(ops))
     return res[-1]

@@ -1,0 +1,75 @@
+"""Eager aggregation through joins (group-join rewrite).
+
+Global aggregates over an inner join must compute from probe-side match
+counts without materializing the match buffer — and must agree exactly with
+the CPU oracle (which always materializes).  Reference context: the CUDA probe
+kernel caps matches with ``max_matches`` (join_kernels.cuh:127,157); the
+rewrite sidesteps that capacity entirely for COUNT/SUM/AVG/MIN/MAX shapes.
+"""
+
+import numpy as np
+import pytest
+
+from gpu_olap_tpu import EngineConfig, OlapEngine
+
+
+@pytest.fixture()
+def engines():
+    rng = np.random.default_rng(7)
+    nk = 40
+    lv = rng.integers(0, 100, 1500).astype(np.int64)
+    tables = {
+        "l": {"k": rng.integers(0, nk, 1500).astype(np.int64), "v": lv},
+        "r": {"k": rng.integers(0, nk, 900).astype(np.int64),
+              "w": rng.integers(0, 100, 900).astype(np.int64)},
+    }
+    dev = OlapEngine(EngineConfig(backend="device", min_shape_bucket=64,
+                                  join_expansion=1.0))
+    cpu = OlapEngine(EngineConfig(backend="cpu"))
+    for n, t in tables.items():
+        dev.register(n, t)
+        cpu.register(n, t)
+    return dev, cpu
+
+
+QUERIES = [
+    # duplicate-heavy count: the sortmerge headline shape
+    "SELECT COUNT(*) AS n FROM l JOIN r ON l.k = r.k",
+    # multiplicity-weighted sum/avg + multiplicity-free min/max
+    "SELECT COUNT(*) AS n, SUM(l.v) AS s, AVG(l.v) AS a, "
+    "MIN(l.v) AS mn, MAX(l.v) AS mx FROM l JOIN r ON l.k = r.k",
+    # probe-side expression + filter pushed below the join
+    "SELECT SUM(l.v * 2 + 1) AS s FROM l JOIN r ON l.k = r.k WHERE l.v > 50",
+    "SELECT COUNT(l.v) AS c FROM l JOIN r ON l.k = r.k",
+]
+
+
+@pytest.mark.parametrize("sql", QUERIES)
+def test_groupjoin_matches_oracle(engines, sql):
+    dev, cpu = engines
+    d = dev.query(sql).to_pydict()
+    c = cpu.query(sql).to_pydict()
+    assert set(d) == set(c)
+    for k in d:
+        np.testing.assert_allclose(
+            np.asarray(d[k], dtype=np.float64),
+            np.asarray(c[k], dtype=np.float64), rtol=1e-12, err_msg=sql)
+
+
+def test_groupjoin_avoids_match_buffer(engines):
+    """The rewrite must not allocate join match capacity (no overflow flags,
+    no growth recompiles) even when matches vastly exceed any buffer guess."""
+    dev, _ = engines
+    dev.query("SELECT COUNT(*) AS n FROM l JOIN r ON l.k = r.k")
+    ex = dev._get_device_executor()
+    assert not ex._cap_override, f"unexpected capacity growth: {ex._cap_override}"
+
+
+def test_groupjoin_ineligible_falls_back(engines):
+    """Mixed-side aggregate arguments need the real pair expansion."""
+    dev, cpu = engines
+    sql = "SELECT SUM(l.v + r.w) AS s FROM l JOIN r ON l.k = r.k"
+    d = dev.query(sql).to_pydict()
+    c = cpu.query(sql).to_pydict()
+    np.testing.assert_allclose(np.asarray(d["s"], dtype=np.float64),
+                               np.asarray(c["s"], dtype=np.float64))
