@@ -1050,11 +1050,24 @@ def _align_string_codes(ld, ldict, rd, rdict):
 
 def _gather_col(c: DevCol, idx, out_valid) -> DevCol:
     """Gather a join-side column by row indices; -1 marks the null-padded side
-    of an outer join."""
+    of an outer join.
+
+    int32-narrowable columns (zone-map stats) are gathered in int32 and
+    widened after — the random gather is bandwidth-bound, so halving the
+    element width roughly halves its cost."""
     nb = c.data.shape[0]
     pad = idx < 0
     safe = jnp.clip(idx, 0, nb - 1)
-    data = c.data[safe]
+    src = c.data
+    # narrowing costs one elementwise pass over the source table, so it only
+    # pays when the gather (index count) is at least as large
+    narrowed = (c.int32_ok and src.dtype == jnp.int64
+                and idx.shape[0] >= nb)
+    if narrowed:
+        src = src.astype(jnp.int32)
+    data = src[safe]
+    if narrowed:
+        data = data.astype(jnp.int64)
     if c.validity is None:
         valid = ~pad
     else:

@@ -79,9 +79,10 @@ def densify_keys(
 def build_sorted(build_code: jnp.ndarray, build_invalid: jnp.ndarray):
     """Sort the build side by key; invalid rows sink to the tail.
 
-    Returns (sorted_keys (tail = INT64_MAX), sorted_row_ids, n_valid)."""
+    Returns (sorted_keys (tail = key_top sentinel), sorted_row_ids (int32),
+    n_valid)."""
     nb = build_code.shape[0]
-    arange = jnp.arange(nb, dtype=jnp.int64)
+    arange = jnp.arange(nb, dtype=jnp.int32)
     inv = build_invalid.astype(jnp.int32)
     sk_inv, sk, srow = jax.lax.sort((inv, build_code, arange), num_keys=2)
     nbv = nb - jnp.sum(sk_inv.astype(jnp.int64))
@@ -105,20 +106,26 @@ def probe_counts(sorted_keys, n_build_valid, probe_code, probe_invalid):
 def expand_matches(cnt, lo, sorted_rows, capacity: int):
     """Materialize (probe_row, build_row) pairs into a static buffer.
 
+    All index arithmetic is int32 (row counts and capacities are < 2^31;
+    narrow lanes halve the bandwidth of the repeat + gathers).  Rows past a
+    wrapped int32 prefix sum can only exist when ``total`` already exceeds
+    ``capacity``, which raises the int64-exact overflow flag and triggers the
+    host growth/recompile path.
+
     Returns (probe_idx, build_row, out_valid, total, overflow)."""
     np_rows = cnt.shape[0]
     nb = sorted_rows.shape[0]
-    starts = jnp.cumsum(cnt) - cnt
-    total = jnp.sum(cnt)
+    cnt32 = cnt.astype(jnp.int32)
+    starts = jnp.cumsum(cnt32) - cnt32
+    total = jnp.sum(cnt)  # int64-exact
     overflow = total > capacity
-    safe_cnt = cnt  # repeat handles truncation/padding via total_repeat_length
     pidx = jnp.repeat(
-        jnp.arange(np_rows, dtype=jnp.int64), safe_cnt, total_repeat_length=capacity
+        jnp.arange(np_rows, dtype=jnp.int32), cnt32, total_repeat_length=capacity
     )
-    slot = jnp.arange(capacity, dtype=jnp.int64)
-    out_valid = slot < total
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    out_valid = slot.astype(jnp.int64) < total
     off = slot - starts[pidx]
-    bpos = jnp.clip(lo[pidx] + off, 0, nb - 1)
+    bpos = jnp.clip(lo.astype(jnp.int32)[pidx] + off, 0, nb - 1)
     brow = sorted_rows[bpos]
     return pidx, brow, out_valid, total, overflow
 
@@ -165,26 +172,28 @@ def lookup_join(build_code, build_invalid, kmin: int, kmax: int,
     # invalid (filtered/null) build rows get an out-of-range key so the
     # equality check below can never select them
     code_eff = jnp.where(build_invalid, jnp.int64(kmax) + 1, code64)
-    arange_b = jnp.arange(nb, dtype=jnp.int64)
+    # build row ids stay int32 (row counts < 2^31): the probe-side random
+    # gather below is bandwidth-bound, so narrow elements cost half
+    arange_b = jnp.arange(nb, dtype=jnp.int32)
     sc, srow = jax.lax.sort((code_eff, arange_b), num_keys=1)
     pos = jnp.clip(sc - int(kmin), 0, span)  # tail (invalid) rows -> span
     nxt = jnp.concatenate([pos[1:], jnp.full(1, span, dtype=pos.dtype)])
     reps = jnp.clip(nxt - pos, 0, span)
     lead = jnp.clip(pos[0:1], 0, span)
     fill = jnp.repeat(
-        jnp.concatenate([jnp.full(1, -1, dtype=jnp.int64), arange_b]),
+        jnp.concatenate([jnp.full(1, -1, dtype=jnp.int32), arange_b]),
         jnp.concatenate([lead, reps]),
         total_repeat_length=span,
     )
     safe_fill = jnp.clip(fill, 0, nb - 1)
     slot_keys = jnp.arange(span, dtype=jnp.int64) + int(kmin)
     exists = (fill >= 0) & (sc[safe_fill] == slot_keys)
-    dense_row = jnp.where(exists, srow[safe_fill], jnp.int64(-1))
+    dense_row = jnp.where(exists, srow[safe_fill], jnp.int32(-1))
 
     rel = probe_code.astype(jnp.int64) - int(kmin)
     inr = (rel >= 0) & (rel < span) & (~probe_invalid)
     rel_c = jnp.clip(rel, 0, span - 1)
-    ri = jnp.where(inr, dense_row[rel_c], jnp.int64(-1))
+    ri = jnp.where(inr, dense_row[rel_c], jnp.int32(-1))
     return ri, ri >= 0
 
 
