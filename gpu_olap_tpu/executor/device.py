@@ -618,16 +618,21 @@ class _Interpreter:
 
     def _try_join_aggregate(self, plan: P.TpuAggregate,
                             path) -> Optional[DevBatch]:
-        """Global aggregate over an inner join computed from match counts —
-        the group-join / eager-aggregation rewrite.  Eligible when every
-        aggregate is COUNT(*) or SUM/COUNT/AVG/MIN/MAX over probe-side-only
-        expressions: SUM weights rows by match multiplicity, COUNT sums
-        multiplicities, MIN/MAX ignore them.  Skips the match-buffer
-        expansion entirely (and with it all capacity-overflow recompiles)."""
+        """Aggregate over an inner join computed from match counts — the
+        group-join / eager-aggregation rewrite.  Eligible when group keys and
+        every aggregate argument are probe-side-only and aggregates are
+        COUNT(*) / SUM / COUNT / AVG / MIN / MAX: SUM and AVG numerators
+        weight rows by match multiplicity, COUNT sums multiplicities, MIN/MAX
+        ignore them, and probe rows with no match drop out of grouping.
+        Skips the match-buffer expansion entirely (and with it all
+        capacity-overflow recompiles)."""
         join = plan.input
         if join.join_type != "inner" or join.residual is not None:
             return None
         n_left_cols = len(join.left.schema)
+        for g in plan.group_exprs:
+            if any(i >= n_left_cols for i in _expr_col_indices(g)):
+                return None
         for a in plan.aggs:
             if a.distinct:
                 return None
@@ -644,6 +649,10 @@ class _Interpreter:
         right = self.exec(join.right, path + (0, 1))
         cnt = self._join_match_counts(join, left, right)
         participates = cnt > 0
+
+        if plan.group_exprs:
+            return self._grouped_join_aggregate(plan, path, left, cnt,
+                                                participates)
 
         cols = []
         for a in plan.aggs:
@@ -681,8 +690,94 @@ class _Interpreter:
                 cols.append(DevCol(out, has, dct))
         return DevBatch(plan.schema, cols, 1, None)
 
+    def _grouped_join_aggregate(self, plan: P.TpuAggregate, path,
+                                left: DevBatch, cnt, participates) -> DevBatch:
+        """GROUP BY over probe-side keys with multiplicity-weighted aggregates
+        (the grouped half of the group-join rewrite).  Unmatched probe rows
+        (cnt == 0) drop out of grouping, matching inner-join semantics."""
+        keys = []
+        key_meta = []
+        for g in plan.group_exprs:
+            data, valid, dictionary = self.eval_expr(g, left)
+            code, null = key_code(data, valid, _np_kind(g.dtype))
+            if valid is None and _np_kind(g.dtype) != "f":
+                null = None
+            if self._int32_ok(g, left) and code.dtype == jnp.int64:
+                code = code.astype(jnp.int32)
+            keys.append((code, null))
+            key_meta.append((g.dtype, dictionary))
+
+        cap_key = ("agg", path)
+        max_groups = self.cap_override.get(
+            cap_key, min(self.config.max_groups, left.capacity))
+        self.meta["capacities"][cap_key] = max_groups
+
+        specs: List[dict] = []
+        post = []
+        for a in plan.aggs:
+            acc = a.out_dtype.numpy_dtype
+            if a.arg is None:  # COUNT(*) = sum of multiplicities
+                specs.append({"func": "sum", "values": cnt, "valid": None,
+                              "distinct": False, "acc_dtype": np.int64,
+                              "np_kind": "i", "arg_id": ("gj_star",)})
+                post.append(("count", len(specs) - 1, None))
+                continue
+            data, valid, dictionary = self.eval_expr(a.arg, left)
+            dct = dictionary if a.out_dtype is DType.STRING else None
+            if a.func == "count":
+                specs.append({"func": "sum", "values": cnt, "valid": valid,
+                              "distinct": False, "acc_dtype": np.int64,
+                              "np_kind": "i", "arg_id": ("gj_cnt", a.arg)})
+                post.append(("count", len(specs) - 1, None))
+            elif a.func == "sum":
+                wv = data.astype(acc) * cnt.astype(acc)
+                specs.append({"func": "sum", "values": wv, "valid": valid,
+                              "distinct": False, "acc_dtype": acc,
+                              "np_kind": _np_kind(a.arg.dtype),
+                              "arg_id": ("gj_sum", a.arg)})
+                post.append(("plain", len(specs) - 1, None))
+            elif a.func == "avg":
+                num = data.astype(np.float64) * cnt.astype(np.float64)
+                specs.append({"func": "sum", "values": num, "valid": valid,
+                              "distinct": False, "acc_dtype": np.float64,
+                              "np_kind": "f", "arg_id": ("gj_avg", a.arg)})
+                specs.append({"func": "sum", "values": cnt, "valid": valid,
+                              "distinct": False, "acc_dtype": np.int64,
+                              "np_kind": "i", "arg_id": ("gj_cnt", a.arg)})
+                post.append(("avg", len(specs) - 2, len(specs) - 1))
+            else:  # min / max: multiplicity-independent
+                specs.append({"func": a.func, "values": data, "valid": valid,
+                              "distinct": False, "acc_dtype": acc,
+                              "np_kind": _np_kind(a.arg.dtype),
+                              "arg_id": a.arg,
+                              "int32_ok": self._int32_ok(a.arg, left),
+                              "dictionary": dct})
+                post.append(("plain", len(specs) - 1, None))
+
+        row_valid = participates
+        group_codes, results, n_groups, overflow = agg_ops.groupby_aggregate(
+            keys, row_valid, specs, max_groups, n_rows=left.capacity)
+        self._push_flag(cap_key, overflow)
+
+        cols = []
+        for (code, null), (dtype, dictionary) in zip(group_codes, key_meta):
+            cols.append(_decode_key(code, null, dtype, dictionary))
+        for kind, i, j in post:
+            if kind == "count":
+                cols.append(DevCol(results[i][0], None))
+            elif kind == "avg":
+                num, den = results[i][0], results[j][0]
+                den_f = den.astype(jnp.float64)
+                avg = jnp.where(den > 0, num / jnp.maximum(den_f, 1.0), 0.0)
+                cols.append(DevCol(avg, den > 0))
+            else:
+                data, valid = results[i]
+                cols.append(DevCol(data, valid, specs[i].get("dictionary")))
+        rv = jnp.arange(max_groups) < n_groups
+        return DevBatch(plan.schema, cols, max_groups, rv)
+
     def _aggregate(self, plan: P.TpuAggregate, path) -> DevBatch:
-        if not plan.group_exprs and isinstance(plan.input, P.TpuHashJoin):
+        if isinstance(plan.input, P.TpuHashJoin):
             fast = self._try_join_aggregate(plan, path)
             if fast is not None:
                 return fast

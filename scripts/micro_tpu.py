@@ -65,6 +65,15 @@ def main():
     rec("gather i64[i32] 10M tab", timeit(f, tab64, idx32))
     rec("gather i32[i32] 10M tab", timeit(f, tab32, idx32))
 
+    # table-size sweep: locality effect on random gather
+    for tm in (1 << 16, 1 << 20, 1 << 23):
+        tt = jax.device_put(rng.integers(0, 1000, tm).astype(np.int32))
+        ii = jax.device_put(rng.integers(0, tm, n).astype(np.int32))
+        rec(f"gather i32[i32] tab={tm:>9,}", timeit(f, tt, ii))
+    # monotonic (sorted) indices: sequential-ish access pattern
+    idx_sorted = jax.device_put(np.sort(np.asarray(idx32)))
+    rec("gather i32[i32] sorted idx", timeit(f, tab32, idx_sorted))
+
     f = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=1))
     rec("sort i32 key + i32 payload", timeit(f, k32, v32))
     f = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=2))

@@ -35,6 +35,12 @@ def engines():
 QUERIES = [
     # duplicate-heavy count: the sortmerge headline shape
     "SELECT COUNT(*) AS n FROM l JOIN r ON l.k = r.k",
+    # grouped over probe-side keys: multiplicity-weighted per group,
+    # unmatched probe rows must not form groups
+    "SELECT l.v % 7 AS g, COUNT(*) AS n, SUM(l.v) AS s, AVG(l.v) AS a "
+    "FROM l JOIN r ON l.k = r.k GROUP BY g ORDER BY g",
+    "SELECT l.v % 5 AS g, MIN(l.v) AS mn, MAX(l.v) AS mx, COUNT(l.v) AS c "
+    "FROM l JOIN r ON l.k = r.k GROUP BY g ORDER BY g",
     # multiplicity-weighted sum/avg + multiplicity-free min/max
     "SELECT COUNT(*) AS n, SUM(l.v) AS s, AVG(l.v) AS a, "
     "MIN(l.v) AS mn, MAX(l.v) AS mx FROM l JOIN r ON l.k = r.k",
