@@ -281,7 +281,13 @@ class DeviceExecutor:
                 "out_schema": None}
         table_meta = {
             name: {"dicts": t["dicts"], "schema": t["schema"],
-                   "num_rows": t["num_rows"], "capacity": t["capacity"]}
+                   "num_rows": t["num_rows"], "capacity": t["capacity"],
+                   # statistics drive trace-time kernel selection (int32
+                   # narrowing, direct-address and lookup joins) — they are
+                   # part of the compile cache key above, so they must reach
+                   # the interpreter too
+                   "int32_ok": t["int32_ok"], "ranges": t["ranges"],
+                   "uniques": t["uniques"]}
             for name, t in tables.items()
         }
 
@@ -503,24 +509,64 @@ class _Interpreter:
         lk, rk = lkeys[0], rkeys[0]
         rinv = rk["null"] if right.row_valid is None else (rk["null"] | ~right.row_valid)
         pinv = lk["null"] if left.row_valid is None else (lk["null"] | ~left.row_valid)
-        ri, matched = join_ops.lookup_join(
+        dense_row, rel_c, inr = join_ops.lookup_slots(
             rk["code"], rinv, int(rng[0]), int(rng[1]), lk["code"], pinv)
 
+        # Per-column dense VALUE tables (build-sized gathers, cheap) replace
+        # per-probe-row gathers through dense_row.  A null-free int column
+        # with zone-map stats gets a sentinel (range max + 1) in empty slots:
+        # its single probe gather then yields value AND matchedness at once —
+        # TPU gathers cost is flat per element, so this halves the join.
+        nb = right.capacity
+        safe_dense = jnp.clip(dense_row, 0, nb - 1)
+        slot_ok = dense_row >= 0
+        sent_ix = None
+        for i, c in enumerate(right.cols):
+            if (c.validity is None and c.dictionary is None
+                    and c.value_range is not None
+                    and c.data.dtype == jnp.int64
+                    and int(c.value_range[1]) < np.iinfo(np.int64).max):
+                sent_ix = i
+                break
+
+        matched = None
+        dense_vals = []
+        for i, c in enumerate(right.cols):
+            dv = c.data[safe_dense]
+            dvalid = None if c.validity is None else (
+                c.validity[safe_dense] & slot_ok)
+            if i == sent_ix:
+                sent = jnp.asarray(int(c.value_range[1]) + 1, dv.dtype)
+                dv = jnp.where(slot_ok, dv, sent)
+                g = dv[rel_c]
+                matched = inr & (g != sent)
+                dense_vals.append((c, g, None, None))
+            else:
+                dense_vals.append((c, None, dv, dvalid))
+        if matched is None:  # no sentinel-capable column: probe dense_row
+            matched = inr & (dense_row[rel_c] >= 0)
+
         nl = left.capacity
-        lvalid = left.row_valid if left.row_valid is not None else             jnp.ones(nl, dtype=bool)
+        lvalid = left.row_valid if left.row_valid is not None else \
+            jnp.ones(nl, dtype=bool)
         if plan.join_type == "inner":
             out_valid = lvalid & matched
         else:  # left outer: all probe rows survive; build side nulls where
             out_valid = lvalid
-        cols = list(left.cols) + [
-            _gather_col(c, ri, out_valid) for c in right.cols
-        ]
+
+        cols = list(left.cols)
+        for c, g, dv, dvalid in dense_vals:
+            if g is None:
+                g = dv[rel_c]
+            valid = matched if dvalid is None else (dvalid[rel_c] & matched)
+            cols.append(DevCol(g, valid, c.dictionary, c.int32_ok,
+                               c.value_range))
         out = DevBatch(plan.schema, cols, nl, out_valid)
         if plan.residual is not None:
             data, valid, _ = self.eval_expr(plan.residual, out)
             mask = filter_ops.combine_mask(out.row_valid, data, valid)
             if plan.join_type == "left":
-                mask = mask | ((ri < 0) & out_valid)
+                mask = mask | (~matched & out_valid)
             out = DevBatch(plan.schema, cols, nl, mask)
         return out
 

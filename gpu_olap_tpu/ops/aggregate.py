@@ -299,11 +299,14 @@ def groupby_aggregate(
     if in_prefix is not None:
         gid = jnp.where(in_prefix, gid, mg32)
 
-    # dense group ids: one searchsorted gives starts, and ends = next start - 1
-    q = jnp.arange(max_groups + 1, dtype=jnp.int32)
-    se = jnp.searchsorted(gid, q, side="left", method="sort")
-    starts, ends = se[:-1], se[1:] - 1
-    exists = ends >= starts
+    if static_prefix is not None:
+        nval = jnp.asarray(static_prefix, jnp.int32)
+    elif inv_thr is not None:
+        nval = nvalid.astype(jnp.int32)
+    else:
+        nval = jnp.asarray(n, jnp.int32)
+    starts, ends, exists = _dense_boundaries(newflag, arange32, n_groups,
+                                             nval, max_groups)
     sizes64 = jnp.where(exists, (ends - starts + 1).astype(jnp.int64),
                         jnp.zeros((), jnp.int64))
     safe_start = jnp.clip(starts, 0, n - 1)
@@ -400,6 +403,28 @@ def groupby_aggregate(
     return group_codes, results, n_groups, overflow
 
 
+def _dense_boundaries(newflag, arange32, n_groups, nval, max_groups: int):
+    """Per-group [start, end] run positions from dense group ids.
+
+    Group ids are gap-free by construction, so the g-th True position of
+    ``newflag`` IS group g's start and ``ends[g] = starts[g+1] - 1``.  The
+    compaction is one stable int32 pair sort — no searchsorted (whose
+    method=\"sort\" lowering hides a full merge sort plus two scatters).
+    ``nval`` is the number of valid rows (runs never extend past it)."""
+    _, pos = jax.lax.sort(((~newflag).astype(jnp.int32), arange32), num_keys=1)
+    if max_groups > pos.shape[0]:  # capacity grown past n: pad (never starts)
+        pos = jnp.concatenate(
+            [pos, jnp.zeros(max_groups - pos.shape[0], jnp.int32)])
+    sp = pos[:max_groups]
+    g_idx = jnp.arange(max_groups, dtype=jnp.int32)
+    exists = g_idx < n_groups
+    nxt = jnp.concatenate([sp[1:], jnp.zeros(1, jnp.int32)])
+    ends = jnp.where(g_idx == n_groups - 1, nval - 1, nxt - 1)
+    starts = jnp.where(exists, sp, nval)
+    ends = jnp.where(exists, ends, nval - 2)
+    return starts, ends, exists
+
+
 def _find_payload(payload_meta, kind, spec):
     """Payload lanes are shared across aggregates over the same argument
     expression; arg_id None (callers that don't set it) never deduplicates."""
@@ -461,14 +486,15 @@ def _count_distinct(spec, key_ops, inv_thr, static_prefix, max_groups, n):
         d = jnp.concatenate([jnp.ones(1, dtype=bool), op[1:] != op[:-1]])
         diff = diff | d
     newflag2 = diff if in_pref2 is None else (diff & in_pref2)
-    gid2_raw = jnp.cumsum(newflag2.astype(jnp.int32)) - 1
-    mg32 = np.int32(max_groups)
-    gid2 = jnp.clip(gid2_raw, 0, mg32)
-    if in_pref2 is not None:
-        gid2 = jnp.where(in_pref2, gid2, mg32)
-    q = jnp.arange(max_groups + 1, dtype=jnp.int32)
-    se2 = jnp.searchsorted(gid2, q, side="left", method="sort")
-    starts2, ends2 = se2[:-1], se2[1:] - 1
+    n_groups2 = jnp.sum(newflag2.astype(jnp.int32)).astype(jnp.int64)
+    if static_prefix is not None:
+        nval2 = jnp.asarray(static_prefix, jnp.int32)
+    elif inv_thr is not None:
+        nval2 = nvalid2.astype(jnp.int32)
+    else:
+        nval2 = jnp.asarray(n, jnp.int32)
+    starts2, ends2, _ = _dense_boundaries(newflag2, arange32, n_groups2,
+                                          nval2, max_groups)
     vcode_s = sorted2[-1]
     vdiff = jnp.concatenate([jnp.ones(1, dtype=bool),
                              vcode_s[1:] != vcode_s[:-1]])

@@ -154,18 +154,16 @@ def direct_probe(sorted_keys, sorted_rows, n_build_valid, kmin: int, kmax: int,
     return lo, cnt
 
 
-def lookup_join(build_code, build_invalid, kmin: int, kmax: int,
-                probe_code, probe_invalid):
-    """Expansion-free join against a *unique-key* build side.
+def lookup_slots(build_code, build_invalid, kmin: int, kmax: int,
+                 probe_code, probe_invalid):
+    """Dense key->row table + probe slot positions for a unique-key build.
 
-    With build keys proven duplicate-free (catalog key statistic) and a
-    stats-bounded range, the build side compiles into a dense key->row table
-    (sort + repeat-fill, scatter-free) and probing is one gather per row —
-    no searchsorted, no match expansion (output shape == probe shape).
-    This is the TPU equivalent of an O(1)-probe hash table with a perfect
-    hash (the identity over [kmin, kmax]).
-
-    Returns (ri, matched): per probe row the matching build row (or -1)."""
+    Returns (dense_row [span] int32, -1 = empty slot; rel_c [n_probe] clipped
+    slot per probe row; inr bool [n_probe] in-range-and-valid).  The caller
+    gathers through dense_row — or through per-column dense *value* tables
+    derived from it, which lets a sentinel value double as the match flag so
+    a single gather per probe row yields both value and matchedness (TPU
+    gathers cost ~7.8 ns/element flat, so gather count is the join's cost)."""
     nb = build_code.shape[0]
     span = int(kmax) - int(kmin) + 1
     code64 = build_code.astype(jnp.int64)
@@ -193,6 +191,23 @@ def lookup_join(build_code, build_invalid, kmin: int, kmax: int,
     rel = probe_code.astype(jnp.int64) - int(kmin)
     inr = (rel >= 0) & (rel < span) & (~probe_invalid)
     rel_c = jnp.clip(rel, 0, span - 1)
+    return dense_row, rel_c, inr
+
+
+def lookup_join(build_code, build_invalid, kmin: int, kmax: int,
+                probe_code, probe_invalid):
+    """Expansion-free join against a *unique-key* build side.
+
+    With build keys proven duplicate-free (catalog key statistic) and a
+    stats-bounded range, the build side compiles into a dense key->row table
+    (sort + repeat-fill, scatter-free) and probing is one gather per row —
+    no searchsorted, no match expansion (output shape == probe shape).
+    This is the TPU equivalent of an O(1)-probe hash table with a perfect
+    hash (the identity over [kmin, kmax]).
+
+    Returns (ri, matched): per probe row the matching build row (or -1)."""
+    dense_row, rel_c, inr = lookup_slots(
+        build_code, build_invalid, kmin, kmax, probe_code, probe_invalid)
     ri = jnp.where(inr, dense_row[rel_c], jnp.int32(-1))
     return ri, ri >= 0
 

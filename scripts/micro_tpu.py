@@ -15,20 +15,20 @@ import time
 import numpy as np
 
 
-def timeit(fn, *args, iters=3):
+def _sync(out):
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # relay-safe sync: force a scalar readback
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf[-1:])
+    # relay-safe sync: force a scalar readback
+    np.asarray(leaf if leaf.ndim == 0 else leaf[-1:])
+
+
+def timeit(fn, *args, iters=3):
+    _sync(fn(*args))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(leaf[-1:])
+        _sync(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -92,10 +92,14 @@ def main():
     rec("cumsum i64 (from i32)", timeit(f, v32))
 
     q = jax.device_put(np.arange(4_000_001, dtype=np.int32))
-    ks = jax.jit(lambda a: jax.lax.sort((a,), num_keys=1))(k32)
+    (ks,) = jax.jit(lambda a: jax.lax.sort((a,), num_keys=1))(k32)
     f = jax.jit(lambda a, qq: jnp.searchsorted(a, qq, side="left",
                                                method="sort"))
     rec("searchsorted 4M q in 100M (sort)", timeit(f, ks, q))
+    qbig = jax.device_put(rng.integers(0, 1 << 22, n).astype(np.int32))
+    kssmall = jax.jit(lambda a: jax.lax.sort((a,), num_keys=1))(
+        jax.device_put(rng.integers(0, 1 << 22, m).astype(np.int32)))[0]
+    rec("searchsorted 100M q in 10M (sort)", timeit(f, kssmall, qbig))
 
     f = jax.jit(lambda c: jnp.repeat(
         jnp.arange(c.shape[0], dtype=jnp.int32), c,
