@@ -332,11 +332,19 @@ class DeviceExecutor:
         schema: Schema = meta["out_schema"]
         dicts = meta["out_dicts"]
         n = int(out["count"])
+        # rows are prefix-compacted on device; pull only the valid prefix —
+        # and fetch every column in ONE device_get round trip (per-column
+        # np.asarray pays the relay latency once per array)
+        sliced = []
+        for data, validity in out["cols"]:
+            sliced.append(data[:n])
+            if validity is not None:
+                sliced.append(validity[:n])
+        fetched = iter(jax.device_get(sliced))
         cols = []
         for (data, validity), dictionary, field in zip(out["cols"], dicts, schema):
-            # rows are prefix-compacted on device; pull only the valid prefix
-            d = np.asarray(data[:n])
-            v = None if validity is None else np.asarray(validity[:n])
+            d = next(fetched)
+            v = next(fetched) if validity is not None else None
             if field.dtype is DType.BOOL and d.dtype != np.bool_:
                 d = d.astype(np.bool_)
             cols.append(Column(d, v, dictionary))
@@ -654,12 +662,12 @@ class _Interpreter:
                                                     lkeys, rkeys)
         lcode, linv, rcode, rinv = join_ops._prepare_codes(
             lkeys_t, left.row_valid, rkeys_t, right.row_valid, True)
-        sk, srow, nbv = join_ops.build_sorted(rcode, rinv)
         if build_range is not None and len(lkeys_t) == 1:
+            sk, srow, nbv = join_ops.build_sorted(rcode, rinv)
             _, cnt = join_ops.direct_probe(
                 sk, srow, nbv, build_range[0], build_range[1], lcode, linv)
         else:
-            _, cnt = join_ops.probe_counts(sk, nbv, lcode, linv)
+            _, cnt = join_ops.probe_ranges_merge(rcode, rinv, lcode, linv)
         return cnt.astype(jnp.int64)
 
     def _try_join_aggregate(self, plan: P.TpuAggregate,

@@ -103,6 +103,64 @@ def probe_counts(sorted_keys, n_build_valid, probe_code, probe_invalid):
     return lo.astype(jnp.int64), cnt.astype(jnp.int64)
 
 
+def probe_ranges_merge(build_code, build_invalid, probe_code, probe_invalid):
+    """Per-probe-row [lo, lo+cnt) match ranges by ONE tagged co-sort.
+
+    ``jnp.searchsorted(method="sort")`` hides a full merge sort plus two
+    scatters per call, and the classic probe needs two calls.  Instead, sort
+    build and probe keys together with a tag ordering build rows before
+    equal-keyed probe rows; then for every element a running build counter
+    (cumsum) and a running run-base (cummax at key-run starts) give, at each
+    probe row, the count of equal build keys (cnt) and the number of valid
+    build rows with smaller keys (lo — which indexes ``build_sorted``'s row
+    order, same (invalid, key) comparator).  A second sort restores probe
+    order.  Two sorts + two scans total; no scatters, no gathers.
+
+    Invalid rows of either side fold into the key lane as a top sentinel
+    (int32 keys) or an extra tag value (general case), so they cluster at
+    the end and never contaminate valid runs."""
+    nb = build_code.shape[0]
+    npr = probe_code.shape[0]
+    n = nb + npr
+    pidx = jnp.concatenate([
+        jnp.full(nb, npr, dtype=jnp.int32),        # build rows restore last
+        jnp.arange(npr, dtype=jnp.int32),
+    ])
+    if build_code.dtype == jnp.int32 and probe_code.dtype == jnp.int32:
+        # fold key + tag + invalid into ONE int64 lane (int64 lane sorts as
+        # fast as int32): merged = key*2 + is_probe, invalid -> INT64_MAX
+        key = jnp.concatenate([build_code, probe_code]).astype(jnp.int64) * 2
+        key = key + jnp.concatenate([
+            jnp.zeros(nb, dtype=jnp.int64), jnp.ones(npr, dtype=jnp.int64)])
+        inv = jnp.concatenate([build_invalid, probe_invalid])
+        key = jnp.where(inv, INT64_MAX, key)
+        key_s, pidx_s = jax.lax.sort((key, pidx), num_keys=1)
+        run_key = key_s >> 1
+        is_build = (key_s & 1) == 0
+    else:
+        key = jnp.concatenate([build_code, probe_code])
+        tag = jnp.concatenate([
+            jnp.zeros(nb, dtype=jnp.int32), jnp.ones(npr, dtype=jnp.int32)])
+        inv = jnp.concatenate([build_invalid, probe_invalid])
+        tag = jnp.where(inv, jnp.int32(2), tag)
+        key_s, tag_s, pidx_s = jax.lax.sort((key, tag, pidx), num_keys=2)
+        run_key = key_s
+        is_build = tag_s == 0
+    newflag = jnp.concatenate([jnp.ones(1, dtype=bool),
+                               run_key[1:] != run_key[:-1]])
+    cb = jnp.cumsum(is_build.astype(jnp.int32))        # builds seen so far
+    arange = jnp.arange(n, dtype=jnp.int32)
+    # builds before each key run's start, carried forward within the run
+    run_base = jax.lax.cummax(
+        jnp.where(newflag, cb - is_build.astype(jnp.int32), jnp.int32(-1)))
+    cnt_elem = cb - run_base
+    # restore probe order: probe rows sort to the first npr positions
+    _, lo_p, cnt_p = jax.lax.sort((pidx_s, run_base, cnt_elem), num_keys=1)
+    lo = lo_p[:npr].astype(jnp.int64)
+    cnt = jnp.where(probe_invalid, 0, cnt_p[:npr]).astype(jnp.int64)
+    return lo, cnt
+
+
 def expand_matches(cnt, lo, sorted_rows, capacity: int):
     """Materialize (probe_row, build_row) pairs into a static buffer.
 
@@ -228,7 +286,7 @@ def inner_join(
         lo, cnt = direct_probe(sk, srow, nbv, build_range[0], build_range[1],
                                lcode, linv)
     else:
-        lo, cnt = probe_counts(sk, nbv, lcode, linv)
+        lo, cnt = probe_ranges_merge(rcode, rinv, lcode, linv)
     return expand_matches(cnt, lo, srow, capacity) + (cnt,)
 
 
