@@ -43,16 +43,23 @@ def _engine(batch_rows: int, join_expansion: float = 1.25):
 
 
 def _time_query(eng, sql: str, iters: int = 3):
-    import jax
+    from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
 
     eng.query(sql)  # warm: compile + device upload
     best = float("inf")
+    best_exec = float("inf")
     for _ in range(iters):
+        st = GLOBAL_METRICS.ops.get("device_execute")
+        s0 = st.seconds if st else 0.0
         t0 = time.perf_counter()
         r = eng.query(sql)
         dt = time.perf_counter() - t0
         best = min(best, dt)
-    return best, r
+        st = GLOBAL_METRICS.ops.get("device_execute")
+        if st is not None and st.seconds > s0:
+            # device-program wall time, sans host parse/plan + result pull
+            best_exec = min(best_exec, st.seconds - s0)
+    return best, r, (best_exec if best_exec < float("inf") else None)
 
 
 def bench_filter_agg(n_rows: int, iters: int):
@@ -64,9 +71,9 @@ def bench_filter_agg(n_rows: int, iters: int):
         "v": rng.integers(0, 1000, n_rows).astype(np.int64),
     })
     sql = "SELECT COUNT(*) AS n, SUM(v) AS s FROM t WHERE v > 500"
-    dt, r = _time_query(eng, sql, iters)
-    return {"seconds": dt, "rows": n_rows, "rows_per_sec": n_rows / dt,
-            "result_rows": r.num_rows}
+    dt, r, ex = _time_query(eng, sql, iters)
+    return {"seconds": dt, "exec_seconds": ex, "rows": n_rows,
+            "rows_per_sec": n_rows / dt, "result_rows": r.num_rows}
 
 
 def bench_groupby(n_rows: int, n_groups: int, iters: int):
@@ -78,9 +85,9 @@ def bench_groupby(n_rows: int, n_groups: int, iters: int):
         "v": rng.integers(0, 1_000_000, n_rows).astype(np.int64),
     })
     sql = "SELECT k, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx FROM t GROUP BY k"
-    dt, r = _time_query(eng, sql, iters)
-    return {"seconds": dt, "rows": n_rows, "rows_per_sec": n_rows / dt,
-            "groups": r.num_rows}
+    dt, r, ex = _time_query(eng, sql, iters)
+    return {"seconds": dt, "exec_seconds": ex, "rows": n_rows,
+            "rows_per_sec": n_rows / dt, "groups": r.num_rows}
 
 
 def bench_join(n_left: int, n_right: int, iters: int, zipf: bool = False):
@@ -96,9 +103,10 @@ def bench_join(n_left: int, n_right: int, iters: int, zipf: bool = False):
     eng.register("r", {"k": np.arange(n_right, dtype=np.int64),
                        "w": rng.integers(0, 1000, n_right).astype(np.int64)})
     sql = "SELECT COUNT(*) AS n, SUM(l.v + r.w) AS s FROM l JOIN r ON l.k = r.k"
-    dt, r = _time_query(eng, sql, iters)
+    dt, r, ex = _time_query(eng, sql, iters)
     total_rows = n_left + n_right
-    return {"seconds": dt, "rows": total_rows, "rows_per_sec": total_rows / dt,
+    return {"seconds": dt, "exec_seconds": ex, "rows": total_rows,
+            "rows_per_sec": total_rows / dt,
             "matches": int(r.to_pydict()["n"][0])}
 
 
@@ -111,9 +119,10 @@ def bench_sortmerge(n_left: int, n_right: int, iters: int):
     eng.register("l", {"k": rng.integers(0, nkeys, n_left).astype(np.int64)})
     eng.register("r", {"k": rng.integers(0, nkeys, n_right).astype(np.int64)})
     sql = "SELECT COUNT(*) AS n FROM l JOIN r ON l.k = r.k"
-    dt, r = _time_query(eng, sql, iters)
+    dt, r, ex = _time_query(eng, sql, iters)
     total_rows = n_left + n_right
-    return {"seconds": dt, "rows": total_rows, "rows_per_sec": total_rows / dt,
+    return {"seconds": dt, "exec_seconds": ex, "rows": total_rows,
+            "rows_per_sec": total_rows / dt,
             "matches": int(r.to_pydict()["n"][0])}
 
 

@@ -52,7 +52,10 @@ def bench_step(ndev: int, rows_per_dev: int, iters: int, zipf: bool):
 
     hist = np.asarray(skew.partition_histogram(jnp.asarray(lk), ndev))
     capacity = skew.recommend_capacity(hist, headroom=1.3)
-    join_capacity = rows_per_dev * 64
+    # expected matches/probe ~= n_right/n_keys = 16; 1.5x headroom.  (An
+    # oversized buffer is pure waste: every downstream sort runs at the
+    # buffer size, not the match count.)
+    join_capacity = rows_per_dev * 24
 
     step = dist_ops.make_dist_join_groupby(
         mesh, capacity=capacity, join_capacity=join_capacity,
@@ -85,11 +88,18 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--zipf", action="store_true",
                     help="Zipfian probe keys (skewed-join config)")
+    ap.add_argument("--strong", action="store_true",
+                    help="strong scaling: fixed TOTAL rows split across the "
+                         "mesh.  On a virtual (shared-host) CPU mesh this is "
+                         "the meaningful mode — weak scaling there measures "
+                         "host-core saturation, not interconnect scaling.")
     args = ap.parse_args()
 
     results = []
     for ndev in args.devices:
-        res = bench_step(ndev, args.rows_per_dev, args.iters, args.zipf)
+        per_dev = (max(args.rows_per_dev // ndev, 1024) if args.strong
+                   else args.rows_per_dev)
+        res = bench_step(ndev, per_dev, args.iters, args.zipf)
         if res is None:
             print(f"# skipping ndev={ndev}: not enough devices", file=sys.stderr)
             continue

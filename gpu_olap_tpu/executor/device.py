@@ -347,6 +347,8 @@ class DeviceExecutor:
             v = next(fetched) if validity is not None else None
             if field.dtype is DType.BOOL and d.dtype != np.bool_:
                 d = d.astype(np.bool_)
+            elif d.dtype == np.int32 and field.dtype.numpy_dtype == np.int64:
+                d = d.astype(np.int64)  # narrow wire format widens host-side
             cols.append(Column(d, v, dictionary))
         return ColumnBatch(schema, cols, n)
 
@@ -1251,15 +1253,16 @@ def _expr_col_indices(expr: P.PhysExpr) -> List[int]:
 
 
 def _decode_key(code, null, dtype: DType, dictionary) -> DevCol:
-    # key operands keep their own space (float keys stay f64), so no bitcast;
-    # int32 fast-path operands widen back to the schema's physical int64
+    # key operands keep their own space (float keys stay f64), so no bitcast.
+    # int32 fast-path codes STAY int32 on device (downstream ops promote as
+    # needed and _to_host widens host-side) — the device->host link runs at
+    # tens of MB/s through the relay, so narrow wire formats matter
     if dtype is DType.BOOL:
         data = code.astype(bool)
-    elif code.dtype == jnp.int32:
-        data = code.astype(jnp.int64)
     else:
         data = code
-    return DevCol(data, ~null, dictionary)
+    return DevCol(data, None if null is None else ~null, dictionary,
+                  int32_ok=code.dtype == jnp.int32)
 
 
 _DAY_MS = 86_400_000

@@ -322,8 +322,9 @@ def groupby_aggregate(
         elif ks["null"] is not None:
             nf = sorted_ops[ks["null"]][safe_start] > 0
         else:
-            nf = jnp.zeros(max_groups, dtype=bool)
-        group_codes.append((out_code, jnp.where(exists, nf, False)))
+            nf = None  # statically null-free key: no flag materialized
+        group_codes.append((
+            out_code, None if nf is None else jnp.where(exists, nf, False)))
 
     # primary key-ride state
     pv_code_s = pv_null_s = ride_cnt = None
@@ -357,14 +358,24 @@ def groupby_aggregate(
                                            static_prefix, max_groups, n))
         elif kind == "primary":
             func = spec["func"]
-            has = ride_cnt > 0
+            # null-free argument (no ride null lane): every output group has
+            # >= 1 value, so validity is statically all-true — return None so
+            # nothing is materialized or transferred for it
+            has = None if pv_null_s is None else (ride_cnt > 0)
             if func in ("min", "max"):
                 if func == "min":
                     pos = safe_start
                 else:
                     pos = jnp.clip(starts + ride_cnt - 1, 0, n - 1)
-                out = pv_code_s[pos].astype(acc)
-                results.append((jnp.where(has, out, jnp.asarray(0, acc)), has))
+                out = pv_code_s[pos]
+                # int32-narrowed values stay int32 on the wire (the
+                # device->host link is the bottleneck; _to_host widens)
+                if not (out.dtype == jnp.int32
+                        and np.dtype(acc) == np.dtype(np.int64)):
+                    out = out.astype(acc)
+                if has is not None:
+                    out = jnp.where(has, out, jnp.asarray(0, out.dtype))
+                results.append((out, has))
             elif func == "count":
                 results.append((ride_cnt, None))
             elif func == "sum":
@@ -379,7 +390,9 @@ def groupby_aggregate(
                     base_v = jnp.where(pv_null_s == 0, base_v, 0.0)
                 s = _sum_by_boundary(base_v, starts, ends)
                 avg = s / jnp.maximum(ride_cnt, 1)
-                results.append((jnp.where(has, avg, 0.0), has))
+                if has is not None:
+                    avg = jnp.where(has, avg, 0.0)
+                results.append((avg, has))
         elif kind == "cnt":
             results.append((_cnt_of(slot), None))
         elif kind == "sum":
@@ -388,14 +401,18 @@ def groupby_aggregate(
             if mv.dtype == jnp.int32:
                 mv = mv.astype(acc)
             s = _sum_by_boundary(mv, starts, ends)
-            cnt = sizes64 if cnt_ix is None else _cnt_of(cnt_ix)
-            results.append((s, cnt > 0))
+            results.append((s, None if cnt_ix is None else (_cnt_of(cnt_ix) > 0)))
         elif kind == "avg":
             fsum_ix, cnt_ix = slot
             s = _sum_by_boundary(_payload_sorted(fsum_ix), starts, ends)
-            cnt = sizes64 if cnt_ix is None else _cnt_of(cnt_ix)
-            has = cnt > 0
-            results.append((jnp.where(has, s / jnp.maximum(cnt, 1), 0.0), has))
+            if cnt_ix is None:
+                avg = s / jnp.maximum(sizes64, 1)
+                results.append((avg, None))
+            else:
+                cnt = _cnt_of(cnt_ix)
+                has = cnt > 0
+                results.append((jnp.where(has, s / jnp.maximum(cnt, 1), 0.0),
+                                has))
         else:  # fallback: permutation-based segmented min/max
             perm = sorted_ops[-1]
             results.append(_agg_one_fallback(spec, perm, gid, in_prefix,
@@ -451,8 +468,6 @@ def _agg_one_fallback(spec, perm, gid, in_prefix, starts, ends, n):
     else:
         v_valid = in_prefix if valid is None else (valid[perm] & in_prefix)
 
-    cnt = _cnt_by_boundary(v_valid, starts, ends)
-    has_any = cnt > 0
     if np.dtype(acc_dtype).kind == "f":
         ident = jnp.inf if func == "min" else -jnp.inf
     else:
@@ -460,6 +475,11 @@ def _agg_one_fallback(spec, perm, gid, in_prefix, starts, ends, n):
     masked = jnp.where(v_valid, vals.astype(acc_dtype),
                        jnp.asarray(ident, acc_dtype))
     out = _seg_scan_minmax(masked, gid, starts, ends, func == "min")
+    if valid is None:
+        # null-free argument: every non-empty group has a value
+        return out, None
+    cnt = _cnt_by_boundary(v_valid, starts, ends)
+    has_any = cnt > 0
     return jnp.where(has_any, out, jnp.asarray(0, acc_dtype)), has_any
 
 

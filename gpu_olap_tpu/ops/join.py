@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence, Tuple
 
+import numpy as np
+
 from ..utils.jaxenv import ensure_jax
 
 jax = ensure_jax()
@@ -221,30 +223,24 @@ def lookup_slots(build_code, build_invalid, kmin: int, kmax: int,
     gathers through dense_row — or through per-column dense *value* tables
     derived from it, which lets a sentinel value double as the match flag so
     a single gather per probe row yields both value and matchedness (TPU
-    gathers cost ~7.8 ns/element flat, so gather count is the join's cost)."""
+    gathers cost ~7.8 ns/element flat, so gather count is the join's cost).
+
+    The dense fill is itself the scatter-free merge probe: slot keys
+    [kmin, kmax] merge against the build keys (``jnp.repeat``'s
+    total_repeat_length lowering hides a scatter-add, which serializes on
+    TPU), then one build-sized gather materializes the row table."""
     nb = build_code.shape[0]
     span = int(kmax) - int(kmin) + 1
-    code64 = build_code.astype(jnp.int64)
-    # invalid (filtered/null) build rows get an out-of-range key so the
-    # equality check below can never select them
-    code_eff = jnp.where(build_invalid, jnp.int64(kmax) + 1, code64)
-    # build row ids stay int32 (row counts < 2^31): the probe-side random
-    # gather below is bandwidth-bound, so narrow elements cost half
-    arange_b = jnp.arange(nb, dtype=jnp.int32)
-    sc, srow = jax.lax.sort((code_eff, arange_b), num_keys=1)
-    pos = jnp.clip(sc - int(kmin), 0, span)  # tail (invalid) rows -> span
-    nxt = jnp.concatenate([pos[1:], jnp.full(1, span, dtype=pos.dtype)])
-    reps = jnp.clip(nxt - pos, 0, span)
-    lead = jnp.clip(pos[0:1], 0, span)
-    fill = jnp.repeat(
-        jnp.concatenate([jnp.full(1, -1, dtype=jnp.int32), arange_b]),
-        jnp.concatenate([lead, reps]),
-        total_repeat_length=span,
-    )
-    safe_fill = jnp.clip(fill, 0, nb - 1)
-    slot_keys = jnp.arange(span, dtype=jnp.int64) + int(kmin)
-    exists = (fill >= 0) & (sc[safe_fill] == slot_keys)
-    dense_row = jnp.where(exists, srow[safe_fill], jnp.int32(-1))
+    _, srow, _ = build_sorted(build_code, build_invalid)
+    if build_code.dtype == jnp.int32:
+        slot_keys = jnp.arange(span, dtype=jnp.int32) + np.int32(kmin)
+    else:
+        slot_keys = jnp.arange(span, dtype=jnp.int64) + int(kmin)
+    lo, cnt = probe_ranges_merge(build_code, build_invalid, slot_keys,
+                                 jnp.zeros(span, dtype=bool))
+    dense_row = jnp.where(
+        cnt > 0, srow[jnp.clip(lo.astype(jnp.int32), 0, nb - 1)],
+        jnp.int32(-1))
 
     rel = probe_code.astype(jnp.int64) - int(kmin)
     inr = (rel >= 0) & (rel < span) & (~probe_invalid)
