@@ -151,7 +151,15 @@ class Catalog:
             meta.stats[key] = False
             return False
         data = np.asarray(column.data)
-        unique = bool(len(np.unique(data)) == len(data))
+        unique = None
+        rng = meta.stats.get(col) if meta.stats else None
+        if rng is not None and data.dtype == np.int64:
+            # native bitmap check: O(n) with duplicate early-exit
+            from . import native
+
+            unique = native.int64_unique_bounded(data, int(rng[0]), int(rng[1]))
+        if unique is None:
+            unique = bool(len(np.unique(data)) == len(data))
         meta.stats[key] = unique
         return unique
 
@@ -174,6 +182,8 @@ def compute_stats(batch: ColumnBatch) -> dict:
     """Zone-map style per-column (min, max) for integer-typed columns."""
     import numpy as np
 
+    from . import native
+
     stats = {}
     for f, c in zip(batch.schema, batch.columns):
         if f.dtype.numpy_dtype != np.dtype(np.int64) or batch.num_rows == 0:
@@ -184,5 +194,8 @@ def compute_stats(batch: ColumnBatch) -> dict:
             if not valid.any():
                 continue
             data = data[valid]
-        stats[f.name] = (int(data.min()), int(data.max()))
+        mm = native.int64_minmax(data)  # multithreaded scan; numpy fallback
+        if mm is None:
+            mm = (int(data.min()), int(data.max()))
+        stats[f.name] = mm
     return stats

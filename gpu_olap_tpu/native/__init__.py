@@ -64,6 +64,14 @@ def get_lib():
             lib.unpack_bitmap.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
             ]
+            lib.int64_minmax.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.int64_unique_bounded.restype = ctypes.c_int
+            lib.int64_unique_bounded.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -123,6 +131,33 @@ def dict_encode_utf8(
         dtype=object,
     )
     return codes, dictionary
+
+
+def int64_minmax(data: np.ndarray) -> Optional[Tuple[int, int]]:
+    """Parallel (min, max) of a contiguous int64 array; None without native."""
+    lib = get_lib()
+    if lib is None or data.dtype != np.int64 or len(data) == 0:
+        return None
+    data = np.ascontiguousarray(data)
+    mn = ctypes.c_int64()
+    mx = ctypes.c_int64()
+    lib.int64_minmax(_ptr(data), len(data), ctypes.byref(mn), ctypes.byref(mx))
+    return int(mn.value), int(mx.value)
+
+
+def int64_unique_bounded(data: np.ndarray, lo: int, hi: int) -> Optional[bool]:
+    """Bitmap uniqueness check with duplicate early-exit (O(n), no sort).
+
+    Returns True/False, or None when native is unavailable or the span is
+    too large for a bitmap (caller falls back to np.unique)."""
+    lib = get_lib()
+    if lib is None or data.dtype != np.int64:
+        return None
+    data = np.ascontiguousarray(data)
+    r = lib.int64_unique_bounded(_ptr(data), len(data), lo, hi)
+    if r < 0:
+        return None
+    return bool(r)
 
 
 def unpack_bitmap(bits: np.ndarray, bit_offset: int, n: int) -> Optional[np.ndarray]:

@@ -125,3 +125,85 @@ void unpack_bitmap(const uint8_t* bits, int64_t bit_offset, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Zone-map statistics (catalog.rs has no statistics at all; ours drive the
+// int32-narrowing / direct-address / lookup-join kernel selection, so the
+// registration-time scan over every int column is a host hot loop).
+// ---------------------------------------------------------------------------
+
+#include <thread>
+
+namespace {
+
+void minmax_range(const int64_t* data, int64_t lo, int64_t hi,
+                  int64_t* out_min, int64_t* out_max) {
+    int64_t mn = data[lo], mx = data[lo];
+    for (int64_t i = lo + 1; i < hi; ++i) {
+        int64_t v = data[i];
+        if (v < mn) mn = v;
+        if (v > mx) mx = v;
+    }
+    *out_min = mn;
+    *out_max = mx;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parallel min/max of an int64 column (no validity; caller pre-filters or
+// accepts sentinel contamination like the numpy path would).
+void int64_minmax(const int64_t* data, int64_t n, int64_t* out_min,
+                  int64_t* out_max) {
+    if (n <= 0) return;
+    unsigned hw = std::thread::hardware_concurrency();
+    int64_t nthreads = static_cast<int64_t>(hw == 0 ? 4 : hw);
+    if (nthreads > n / (1 << 20)) nthreads = n / (1 << 20);
+    if (nthreads < 1) nthreads = 1;
+    std::vector<int64_t> mins(static_cast<size_t>(nthreads));
+    std::vector<int64_t> maxs(static_cast<size_t>(nthreads));
+    std::vector<std::thread> ts;
+    int64_t chunk = (n + nthreads - 1) / nthreads;
+    for (int64_t t = 0; t < nthreads; ++t) {
+        int64_t lo = t * chunk, hi = std::min(n, lo + chunk);
+        ts.emplace_back(minmax_range, data, lo, hi,
+                        &mins[static_cast<size_t>(t)],
+                        &maxs[static_cast<size_t>(t)]);
+    }
+    for (auto& th : ts) th.join();
+    int64_t mn = mins[0], mx = maxs[0];
+    for (int64_t t = 1; t < nthreads; ++t) {
+        if (mins[static_cast<size_t>(t)] < mn) mn = mins[static_cast<size_t>(t)];
+        if (maxs[static_cast<size_t>(t)] > mx) mx = maxs[static_cast<size_t>(t)];
+    }
+    *out_min = mn;
+    *out_max = mx;
+}
+
+// Uniqueness of an int64 column with a known [lo, hi] range, via a bitmap
+// with duplicate early-exit — O(n) against np.unique's O(n log n) sort.
+// Returns 1 = unique, 0 = duplicate found, -1 = span too large for a bitmap.
+int int64_unique_bounded(const int64_t* data, int64_t n, int64_t lo,
+                         int64_t hi) {
+    if (n <= 0) return 1;
+    // span is bounded by the caller's direct_join_max_range check, but be
+    // defensive: cap the bitmap at 512 MB of bits.
+    unsigned __int128 span128 =
+        static_cast<unsigned __int128>(hi) - static_cast<unsigned __int128>(lo) + 1;
+    if (span128 > (static_cast<unsigned __int128>(1) << 32)) return -1;
+    int64_t span = static_cast<int64_t>(span128);
+    if (n > span) return 0;  // pigeonhole
+    std::vector<uint64_t> bits(static_cast<size_t>((span + 63) / 64), 0);
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t rel = data[i] - lo;
+        if (rel < 0 || rel >= span) return 0;  // outside claimed range
+        uint64_t& w = bits[static_cast<size_t>(rel >> 6)];
+        uint64_t m = 1ULL << (rel & 63);
+        if (w & m) return 0;
+        w |= m;
+    }
+    return 1;
+}
+
+}  // extern "C"

@@ -74,3 +74,30 @@ def test_arrow_string_ingestion_uses_native_and_matches():
     assert list(col.dictionary) == sorted(set(["z", "y", "abc"]))
     back = arrow_io.batch_to_arrow(batch)
     assert back.column("s").to_pylist() == ["z", "y", None, "z", "abc"]
+
+
+def test_int64_minmax_matches_numpy():
+    from gpu_olap_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(3)
+    d = rng.integers(-1000, 1 << 40, 100_000).astype(np.int64)
+    assert native.int64_minmax(d) == (int(d.min()), int(d.max()))
+
+
+def test_int64_unique_bounded():
+    from gpu_olap_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("native toolchain unavailable")
+    u = np.arange(10_000, dtype=np.int64)
+    np.random.default_rng(4).shuffle(u)
+    assert native.int64_unique_bounded(u, 0, 9_999) is True
+    u[7] = u[8]
+    assert native.int64_unique_bounded(u, 0, 9_999) is False
+    # span too large for a bitmap -> None (caller falls back)
+    assert native.int64_unique_bounded(u, 0, 1 << 40) is None
+    # values outside the claimed range -> not unique under that range
+    assert native.int64_unique_bounded(np.array([5, 20], dtype=np.int64),
+                                       0, 9) is False
