@@ -156,6 +156,9 @@ class DeviceExecutor:
                 out = fn(arrays)
                 flags = {k: bool(v) for k, v in zip(meta["flag_names"], out["flags"])}
                 overflowed = [k for k, v in flags.items() if v]
+                # force program completion inside the timer (dispatch is
+                # async; flag readbacks above only block when flags exist)
+                out["count"] = int(out["count"])
             if not overflowed:
                 batch = self._to_host(plan, out, meta)
                 GLOBAL_METRICS.record_span(
@@ -440,6 +443,7 @@ class _Interpreter:
         lkeys = [self._key_of(k, left) for k in plan.left_keys]
         rkeys = [self._key_of(k, right) for k in plan.right_keys]
         build_range = self._direct_range(plan, lkeys, rkeys)
+        fold_range = self._fold_range(plan, lkeys, rkeys)
         # expansion-free lookup join: unique, range-bounded build key
         # ("sort_merge" strategy forces the sorted-probe core path)
         if plan.strategy != "sort_merge":
@@ -459,7 +463,7 @@ class _Interpreter:
 
         li, ri, out_valid, total, overflow, cnt = join_ops.inner_join(
             lkeys, left.row_valid, rkeys, right.row_valid, capacity,
-            build_range=build_range,
+            build_range=build_range, fold_range=fold_range,
         )
         self._push_flag(cap_key, overflow)
 
@@ -530,14 +534,22 @@ class _Interpreter:
         nb = right.capacity
         safe_dense = jnp.clip(dense_row, 0, nb - 1)
         slot_ok = dense_row >= 0
+        # sentinel host column: prefer a NON-key column — the join key is
+        # rarely referenced again after the join, while the matched flag's
+        # gather CSEs with the column's own value gather when the column IS
+        # used (one probe gather yields both)
+        key_ix = plan.right_keys[0].index
         sent_ix = None
         for i, c in enumerate(right.cols):
             if (c.validity is None and c.dictionary is None
                     and c.value_range is not None
                     and c.data.dtype == jnp.int64
                     and int(c.value_range[1]) < np.iinfo(np.int64).max):
-                sent_ix = i
-                break
+                if sent_ix is None:
+                    sent_ix = i
+                if i != key_ix:
+                    sent_ix = i
+                    break
 
         matched = None
         dense_vals = []
@@ -595,6 +607,22 @@ class _Interpreter:
         return (isinstance(expr, P.ColumnRef)
                 and batch.cols[expr.index].int32_ok
                 and expr.dtype is not DType.FLOAT64)
+
+    @staticmethod
+    def _fold_range(plan, lkeys, rkeys):
+        """Union zone-map range over both key sides (single int key): lets the
+        merge probe keep its folded key+tag lane in int32."""
+        if len(lkeys) != 1 or len(rkeys) != 1:
+            return None
+        lr, rr = lkeys[0].get("range"), rkeys[0].get("range")
+        if lr is None or rr is None:
+            return None
+        for k in (lkeys[0], rkeys[0]):
+            # strings are excluded: dictionary unification can remap codes
+            # past the registered (0, len(dict)-1) range
+            if k["dtype"] in (DType.FLOAT64, DType.STRING):
+                return None
+        return (min(int(lr[0]), int(rr[0])), max(int(lr[1]), int(rr[1])))
 
     def _direct_range(self, plan, lkeys, rkeys):
         """Direct-address probe eligibility: single key, stats-bounded build
@@ -660,6 +688,7 @@ class _Interpreter:
                     rk["code"], rinv, rng[0], rng[1], lk["code"], pinv)
                 return matched.astype(jnp.int64)
         build_range = self._direct_range(plan, lkeys, rkeys)
+        fold_range = self._fold_range(plan, lkeys, rkeys)
         lkeys_t, rkeys_t = self._unified_key_tuples(plan, left, right,
                                                     lkeys, rkeys)
         lcode, linv, rcode, rinv = join_ops._prepare_codes(
@@ -669,7 +698,8 @@ class _Interpreter:
             _, cnt = join_ops.direct_probe(
                 sk, srow, nbv, build_range[0], build_range[1], lcode, linv)
         else:
-            _, cnt = join_ops.probe_ranges_merge(rcode, rinv, lcode, linv)
+            _, cnt = join_ops.probe_ranges_merge(rcode, rinv, lcode, linv,
+                                                 fold_range=fold_range)
         return cnt.astype(jnp.int64)
 
     def _try_join_aggregate(self, plan: P.TpuAggregate,
@@ -867,10 +897,19 @@ class _Interpreter:
                               "acc_dtype": a.out_dtype.numpy_dtype})
                 continue
             data, valid, dictionary = self.eval_expr(a.arg, batch)
+            # zone-map bound n * max|v| < 2^52: integer SUM prefix sums stay
+            # exact in float64, whose cumsum is native (int64 is emulated)
+            vrange = (batch.cols[a.arg.index].value_range
+                      if isinstance(a.arg, P.ColumnRef) else None)
+            sum_f64_ok = bool(
+                a.func in ("sum", "avg") and vrange is not None
+                and batch.capacity * max(abs(int(vrange[0])),
+                                         abs(int(vrange[1]))) < (1 << 52))
             specs.append({
                 "func": a.func, "values": data, "valid": valid,
                 "distinct": a.distinct, "acc_dtype": a.out_dtype.numpy_dtype,
                 "np_kind": _np_kind(a.arg.dtype),
+                "sum_f64_ok": sum_f64_ok,
                 "int32_ok": self._int32_ok(a.arg, batch),
                 # structural id of the argument expression: min/max specs over
                 # the same argument share the ride-the-sort fast path

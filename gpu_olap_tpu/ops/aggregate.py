@@ -221,6 +221,11 @@ def groupby_aggregate(
                 mv = values.astype(jnp.int32)
                 if valid is not None:
                     mv = jnp.where(valid, mv, jnp.asarray(0, jnp.int32))
+            elif (spec.get("sum_f64_ok") and np.dtype(acc).kind in "iu"):
+                # stats-proven exact in f64 (native cumsum vs emulated int64)
+                mv = values.astype(jnp.float64)
+                if valid is not None:
+                    mv = jnp.where(valid, mv, 0.0)
             else:
                 mv = values.astype(acc)
                 if valid is not None:
@@ -379,11 +384,17 @@ def groupby_aggregate(
             elif func == "count":
                 results.append((ride_cnt, None))
             elif func == "sum":
-                base_v = pv_code_s.astype(acc)
+                sum_dt = (jnp.float64 if (spec.get("sum_f64_ok")
+                                          and np.dtype(acc).kind in "iu")
+                          else acc)
+                base_v = pv_code_s.astype(sum_dt)
                 if pv_null_s is not None:
                     base_v = jnp.where(pv_null_s == 0, base_v,
-                                       jnp.asarray(0, acc))
-                results.append((_sum_by_boundary(base_v, starts, ends), has))
+                                       jnp.asarray(0, sum_dt))
+                s = _sum_by_boundary(base_v, starts, ends)
+                if s.dtype != np.dtype(acc):
+                    s = s.astype(acc)  # stats-proven exact (< 2^52)
+                results.append((s, has))
             else:  # avg
                 base_v = pv_code_s.astype(jnp.float64)
                 if pv_null_s is not None:
@@ -399,8 +410,10 @@ def groupby_aggregate(
             sum_ix, cnt_ix = slot
             mv = _payload_sorted(sum_ix)
             if mv.dtype == jnp.int32:
-                mv = mv.astype(acc)
+                mv = mv.astype(jnp.float64 if spec.get("sum_f64_ok") else acc)
             s = _sum_by_boundary(mv, starts, ends)
+            if s.dtype != np.dtype(acc):
+                s = s.astype(acc)  # stats-proven exact (< 2^52)
             results.append((s, None if cnt_ix is None else (_cnt_of(cnt_ix) > 0)))
         elif kind == "avg":
             fsum_ix, cnt_ix = slot

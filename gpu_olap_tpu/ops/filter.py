@@ -36,9 +36,9 @@ def compaction_indices(mask: jnp.ndarray):
     the masked-out rows).  Implemented as a stable sort by the inverted mask —
     scatter-free, since XLA scatter serializes on TPU."""
     n = mask.shape[0]
-    arange = jnp.arange(n, dtype=jnp.int64)
+    arange = jnp.arange(n, dtype=jnp.int32)  # row counts < 2^31: narrow lane
     inv = (~mask).astype(jnp.int32)
-    _, gather_idx = jax.lax.sort((inv, arange), num_keys=2)
+    _, gather_idx = jax.lax.sort((inv, arange), num_keys=1)
     count = jnp.sum(mask.astype(jnp.int64))
     return gather_idx, count
 

@@ -105,7 +105,8 @@ def probe_counts(sorted_keys, n_build_valid, probe_code, probe_invalid):
     return lo.astype(jnp.int64), cnt.astype(jnp.int64)
 
 
-def probe_ranges_merge(build_code, build_invalid, probe_code, probe_invalid):
+def probe_ranges_merge(build_code, build_invalid, probe_code, probe_invalid,
+                       fold_range=None):
     """Per-probe-row [lo, lo+cnt) match ranges by ONE tagged co-sort.
 
     ``jnp.searchsorted(method="sort")`` hides a full merge sort plus two
@@ -120,7 +121,11 @@ def probe_ranges_merge(build_code, build_invalid, probe_code, probe_invalid):
 
     Invalid rows of either side fold into the key lane as a top sentinel
     (int32 keys) or an extra tag value (general case), so they cluster at
-    the end and never contaminate valid runs."""
+    the end and never contaminate valid runs.
+
+    ``fold_range``: optional (lo, hi) zone-map bound over BOTH sides' valid
+    keys; when 2*(hi-lo)+1 has int32 headroom the merged key+tag lane stays
+    int32 (int64 lanes sort ~2x slower than int32 on TPU)."""
     nb = build_code.shape[0]
     npr = probe_code.shape[0]
     n = nb + npr
@@ -128,9 +133,25 @@ def probe_ranges_merge(build_code, build_invalid, probe_code, probe_invalid):
         jnp.full(nb, npr, dtype=jnp.int32),        # build rows restore last
         jnp.arange(npr, dtype=jnp.int32),
     ])
-    if build_code.dtype == jnp.int32 and probe_code.dtype == jnp.int32:
-        # fold key + tag + invalid into ONE int64 lane (int64 lane sorts as
-        # fast as int32): merged = key*2 + is_probe, invalid -> INT64_MAX
+    i32_fold = (
+        fold_range is not None
+        and build_code.dtype == jnp.int32 and probe_code.dtype == jnp.int32
+        and 2 * (int(fold_range[1]) - int(fold_range[0])) + 2
+            < np.iinfo(np.int32).max - 2
+    )
+    if i32_fold:
+        lo32 = np.int32(fold_range[0])
+        key = (jnp.concatenate([build_code, probe_code]) - lo32) * 2
+        key = key + jnp.concatenate([
+            jnp.zeros(nb, dtype=jnp.int32), jnp.ones(npr, dtype=jnp.int32)])
+        inv = jnp.concatenate([build_invalid, probe_invalid])
+        key = jnp.where(inv, np.int32(np.iinfo(np.int32).max), key)
+        key_s, pidx_s = jax.lax.sort((key, pidx), num_keys=1)
+        run_key = key_s >> 1
+        is_build = (key_s & 1) == 0
+    elif build_code.dtype == jnp.int32 and probe_code.dtype == jnp.int32:
+        # fold key + tag + invalid into ONE int64 lane:
+        # merged = key*2 + is_probe, invalid -> INT64_MAX
         key = jnp.concatenate([build_code, probe_code]).astype(jnp.int64) * 2
         key = key + jnp.concatenate([
             jnp.zeros(nb, dtype=jnp.int64), jnp.ones(npr, dtype=jnp.int64)])
@@ -237,14 +258,22 @@ def lookup_slots(build_code, build_invalid, kmin: int, kmax: int,
     else:
         slot_keys = jnp.arange(span, dtype=jnp.int64) + int(kmin)
     lo, cnt = probe_ranges_merge(build_code, build_invalid, slot_keys,
-                                 jnp.zeros(span, dtype=bool))
+                                 jnp.zeros(span, dtype=bool),
+                                 fold_range=(int(kmin), int(kmax)))
     dense_row = jnp.where(
         cnt > 0, srow[jnp.clip(lo.astype(jnp.int32), 0, nb - 1)],
         jnp.int32(-1))
 
-    rel = probe_code.astype(jnp.int64) - int(kmin)
-    inr = (rel >= 0) & (rel < span) & (~probe_invalid)
-    rel_c = jnp.clip(rel, 0, span - 1)
+    if probe_code.dtype == jnp.int32 and span <= np.iinfo(np.int32).max:
+        # probe-side arithmetic stays int32 (int64 is emulated): range-test
+        # BEFORE subtracting so no intermediate can overflow
+        k0, k1 = np.int32(kmin), np.int32(kmax)
+        inr = (probe_code >= k0) & (probe_code <= k1) & (~probe_invalid)
+        rel_c = jnp.clip(probe_code, k0, k1) - k0
+    else:
+        rel = probe_code.astype(jnp.int64) - int(kmin)
+        inr = (rel >= 0) & (rel < span) & (~probe_invalid)
+        rel_c = jnp.clip(rel, 0, span - 1)
     return dense_row, rel_c, inr
 
 
@@ -270,6 +299,7 @@ def inner_join(
     left_keys, left_rowvalid, right_keys, right_rowvalid, capacity: int,
     single_key_fast: bool = True,
     build_range=None,
+    fold_range=None,
 ):
     """Inner equi-join.  Probe = left, build = right.
 
@@ -282,7 +312,8 @@ def inner_join(
         lo, cnt = direct_probe(sk, srow, nbv, build_range[0], build_range[1],
                                lcode, linv)
     else:
-        lo, cnt = probe_ranges_merge(rcode, rinv, lcode, linv)
+        lo, cnt = probe_ranges_merge(rcode, rinv, lcode, linv,
+                                     fold_range=fold_range)
     return expand_matches(cnt, lo, srow, capacity) + (cnt,)
 
 
@@ -309,10 +340,10 @@ def _compact_rows(flag: jnp.ndarray):
     """Row ids where ``flag`` holds, compacted to a -1-padded prefix
     (stable sort — scatter-free)."""
     n = flag.shape[0]
-    arange = jnp.arange(n, dtype=jnp.int64)
-    _, rows = jax.lax.sort(((~flag).astype(jnp.int32), arange), num_keys=2)
+    arange = jnp.arange(n, dtype=jnp.int32)
+    _, rows = jax.lax.sort(((~flag).astype(jnp.int32), arange), num_keys=1)
     n_set = jnp.sum(flag.astype(jnp.int64))
-    rows = jnp.where(arange < n_set, rows, jnp.int64(-1))
+    rows = jnp.where(arange < n_set, rows, jnp.int32(-1)).astype(jnp.int64)
     return rows, n_set
 
 
@@ -339,14 +370,13 @@ def outer_extend(join_type: str, li, ri, out_valid, total,
 
     if join_type in ("right", "full"):
         rvalid = jnp.ones(nr, dtype=bool) if right_rowvalid is None else right_rowvalid
-        # membership test: sort emitted right-row ids, then binary-search each
-        # build row (scatter-free matched-flag computation)
-        emitted = jnp.where(out_valid, ri, jnp.int64(-1))
-        emitted_sorted = jnp.sort(emitted)
-        rows = jnp.arange(nr, dtype=jnp.int64)
-        lo = jnp.searchsorted(emitted_sorted, rows, side="left", method="sort")
-        hi = jnp.searchsorted(emitted_sorted, rows, side="right", method="sort")
-        matched = hi > lo
+        # membership test via the merge probe (emitted right-row ids as the
+        # "build" side) — scatter-free matched-flag computation
+        emitted = jnp.where(out_valid, ri.astype(jnp.int32), jnp.int32(-1))
+        rows = jnp.arange(nr, dtype=jnp.int32)
+        _, cnt_m = probe_ranges_merge(emitted, emitted < 0, rows,
+                                      jnp.zeros(nr, dtype=bool))
+        matched = cnt_m > 0
         unmatched = ~matched & rvalid
         slot_rows, n_un = _compact_rows(unmatched)
         parts_li.append(jnp.full(nr, -1, dtype=jnp.int64))

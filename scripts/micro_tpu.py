@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--table", type=int, default=10_000_000)
     args = ap.parse_args()
     import jax
+
+    jax.config.update("jax_enable_x64", True)  # engine runs with x64 on
     import jax.numpy as jnp
 
     n, m = args.n, args.table
