@@ -13,6 +13,18 @@ import pandas as pd
 
 import gpu_olap_tpu as got
 
+# demo scale: full size on an accelerator, small on host CPU (XLA CPU sorts
+# of 1M-row tables make a sluggish demo)
+def _demo_rows(full: int) -> int:
+    try:
+        import jax
+
+        if jax.devices()[0].platform != "cpu":
+            return full
+    except Exception:
+        pass
+    return max(full // 20, 10_000)
+
 
 def example_basic_queries(tmpdir="/tmp/gpu_olap_tpu_demo"):
     """Basic SQL query examples (reference python_usage.py:15-69)."""
@@ -24,7 +36,7 @@ def example_basic_queries(tmpdir="/tmp/gpu_olap_tpu_demo"):
 
     os.makedirs(tmpdir, exist_ok=True)
     rng = np.random.default_rng(0)
-    n = 1_000_000
+    n = _demo_rows(1_000_000)
     pq.write_table(pa.table({
         "product_id": rng.integers(0, 1000, n),
         "amount": np.abs(rng.normal(500, 400, n)),
@@ -91,10 +103,10 @@ def example_pandas_integration():
     engine = got.GpuOlapEngine()
 
     df = pd.DataFrame({
-        "id": range(1_000_000),
-        "category": np.random.choice(["A", "B", "C", "D"], 1_000_000),
-        "value": np.random.randn(1_000_000) * 100,
-        "quantity": np.random.randint(1, 100, 1_000_000),
+        "id": range(_demo_rows(1_000_000)),
+        "category": np.random.choice(["A", "B", "C", "D"], _demo_rows(1_000_000)),
+        "value": np.random.randn(_demo_rows(1_000_000)) * 100,
+        "quantity": np.random.randint(1, 100, _demo_rows(1_000_000)),
     })
 
     start = time.time()
@@ -193,7 +205,7 @@ def benchmark_join_performance():
     """Join scaling micro-benchmark (reference python_usage.py:289-327)."""
     print("\n=== Join Performance Benchmark ===\n")
     engine = got.GpuOlapEngine()
-    for size in [10_000, 100_000, 1_000_000]:
+    for size in [10_000, 100_000, _demo_rows(1_000_000)]:
         rng = np.random.default_rng(size)
         left = pd.DataFrame({
             "key": rng.integers(0, size // 2, size),

@@ -308,12 +308,12 @@ def inner_join(
         left_keys, left_rowvalid, right_keys, right_rowvalid, single_key_fast
     )
     sk, srow, nbv = build_sorted(rcode, rinv)
-    if build_range is not None and single_key_fast and len(left_keys) == 1:
-        lo, cnt = direct_probe(sk, srow, nbv, build_range[0], build_range[1],
-                               lcode, linv)
-    else:
-        lo, cnt = probe_ranges_merge(rcode, rinv, lcode, linv,
-                                     fold_range=fold_range)
+    # the merge probe beats the direct-address table at essentially every
+    # shape (two co-sorts vs a searchsorted-built table plus two probe-sized
+    # gathers — measured 92M rows/s vs ~50M at 25Mx25M); direct_probe remains
+    # for streaming, where the build side stays resident across chunks
+    lo, cnt = probe_ranges_merge(rcode, rinv, lcode, linv,
+                                 fold_range=fold_range)
     return expand_matches(cnt, lo, srow, capacity) + (cnt,)
 
 

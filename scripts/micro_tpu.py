@@ -109,6 +109,29 @@ def main():
     ones = jax.device_put(np.full(n // 4, 4, dtype=np.int32))
     rec("repeat 25M cnts -> 100M (i32)", timeit(f, ones))
 
+    k64t = jax.device_put(rng.integers(0, 1 << 40, n).astype(np.int64))
+    f = jax.jit(lambda a, b: jax.lax.sort((a, b), num_keys=1))
+    rec("sort TRUE i64 key + i32 payload", timeit(f, k64t, v32))
+    f = jax.jit(lambda a: jax.lax.cummax(a))
+    rec("cummax i32", timeit(f, v32))
+
+    from gpu_olap_tpu.ops import join as join_ops
+
+    m4 = n // 4
+    bc = jax.device_put(rng.integers(0, m4 // 4, m4).astype(np.int32))
+    pc = jax.device_put(rng.integers(0, m4 // 4, m4).astype(np.int32))
+    zb = jax.device_put(np.zeros(m4, dtype=bool))
+    f = jax.jit(lambda b, p, z: join_ops.probe_ranges_merge(b, z, p, z))
+    t = timeit(f, bc, pc, zb)
+    print(f"{'probe_ranges_merge 25Mx25M i64fold':38s} {t*1e3:9.1f} ms   "
+          f"{2*m4/t/1e6:9.1f} M rows/s", flush=True)
+    fr = (0, m4 // 4)
+    f = jax.jit(lambda b, p, z: join_ops.probe_ranges_merge(
+        b, z, p, z, fold_range=fr))
+    t = timeit(f, bc, pc, zb)
+    print(f"{'probe_ranges_merge 25Mx25M i32fold':38s} {t*1e3:9.1f} ms   "
+          f"{2*m4/t/1e6:9.1f} M rows/s", flush=True)
+
     import json
 
     with open("micro_tpu.json", "w") as fp:
