@@ -35,6 +35,8 @@ class Parser:
     def __init__(self, sql: str):
         self.tokens: List[Token] = tokenize(sql)
         self.pos = 0
+        # WITH-clause common table expressions in scope: name -> LogicalPlan
+        self.ctes: dict = {}
 
     # -- token helpers -----------------------------------------------------
     def peek(self, offset: int = 0) -> Token:
@@ -77,6 +79,24 @@ class Parser:
         return plan
 
     def parse_query(self) -> LogicalPlan:
+        if self.accept_kw("with"):
+            # CTEs (beyond the reference, which supports none —
+            # README.md:406-414); each CTE sees the ones before it
+            saved = dict(self.ctes)
+            while True:
+                tok = self.next()
+                if tok.kind != "ident":
+                    raise SqlError(f"Expected CTE name, found {tok.value!r}")
+                name = tok.value
+                self.expect_kw("as")
+                self.expect_op("(")
+                self.ctes[name] = self.parse_query()
+                self.expect_op(")")
+                if not self.accept_op(","):
+                    break
+            plan = self.parse_select()
+            self.ctes = saved
+            return plan
         return self.parse_select()
 
     # -- SELECT ------------------------------------------------------------
@@ -203,6 +223,8 @@ class Parser:
             alias = self.next().value
         elif self.peek().kind == "ident":
             alias = self.next().value
+        if name in self.ctes:
+            return SubqueryAlias(self.ctes[name], alias or name)
         return TableScan(name, alias)
 
     # -- expressions (Pratt) -----------------------------------------------

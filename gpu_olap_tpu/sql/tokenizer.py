@@ -22,7 +22,7 @@ KEYWORDS = {
     "join", "inner", "left", "right", "full", "outer", "cross", "on", "as",
     "and", "or", "not", "in", "between", "like", "is", "null", "distinct",
     "asc", "desc", "case", "when", "then", "else", "end", "cast", "true", "false",
-    "union", "all",
+    "union", "all", "with",
 }
 
 # multi-char operators first

@@ -148,3 +148,26 @@ def test_parse_qualified_star():
     assert isinstance(plan, L.Projection)
     star = plan.exprs[0]
     assert isinstance(star, L.Star) and star.qualifier == "l"
+
+
+def test_with_cte_basic():
+    plan = parse_sql(
+        "WITH t AS (SELECT a FROM base) SELECT t.a FROM t WHERE t.a > 1")
+    s = str(plan)
+    assert "SubqueryAlias" in s or "t" in s
+
+
+def test_with_cte_chained_and_join():
+    plan = parse_sql(
+        "WITH a AS (SELECT x FROM base), b AS (SELECT x FROM a) "
+        "SELECT b.x FROM b JOIN a ON b.x = a.x")
+    assert plan is not None
+
+
+def test_with_cte_scoping_error():
+    import pytest
+
+    from gpu_olap_tpu.sql.tokenizer import SqlError
+
+    with pytest.raises(SqlError):
+        parse_sql("WITH a AS SELECT x FROM t SELECT * FROM a")  # missing parens
