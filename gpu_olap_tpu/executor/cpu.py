@@ -71,6 +71,8 @@ class CpuExecutor:
             return self._limit(plan)
         if isinstance(plan, P.TpuDistinct):
             return self._distinct(plan)
+        if isinstance(plan, P.TpuUnion):
+            return self._union(plan)
         raise NotImplementedError(type(plan).__name__)
 
     # -- scan ----------------------------------------------------------
@@ -263,6 +265,32 @@ class CpuExecutor:
         batch = self._exec(plan.input)
         _, rep_idx, _ = _factorize(list(batch.columns), batch.num_rows)
         return _take(batch, np.sort(rep_idx))
+
+    def _union(self, plan: P.TpuUnion) -> ColumnBatch:
+        """UNION ALL: concatenate children by column position (dictionaries
+        re-encoded into a shared sorted union dictionary)."""
+        batches = [self._exec(c) for c in plan.children]
+        cols: List[Column] = []
+        for i, f in enumerate(plan.schema):
+            parts = [b.columns[i] for b in batches]
+            if f.dtype is DType.STRING:
+                from ..interop.columnar import dict_encode_strings
+
+                dec = np.concatenate([
+                    np.asarray(c.dictionary, dtype=object)[
+                        np.clip(np.asarray(c.data), 0, len(c.dictionary) - 1)]
+                    for c in parts
+                ])
+                codes, dictionary, _ = dict_encode_strings(dec)
+                valid = _concat_validity(parts)
+                cols.append(Column(codes, valid, dictionary))
+                continue
+            data = np.concatenate([
+                np.asarray(c.data).astype(f.dtype.numpy_dtype) for c in parts
+            ])
+            cols.append(Column(data, _concat_validity(parts)))
+        return ColumnBatch(plan.schema, cols,
+                           sum(b.num_rows for b in batches))
 
     # ------------------------------------------------------------------
     # Expression evaluation (returns Column of physical data + validity)
@@ -459,6 +487,16 @@ class CpuExecutor:
 # ---------------------------------------------------------------------------
 # helpers
 # ---------------------------------------------------------------------------
+
+
+def _concat_validity(parts) -> Optional[np.ndarray]:
+    if all(c.validity is None for c in parts):
+        return None
+    return np.concatenate([
+        np.ones(len(c), dtype=bool) if c.validity is None
+        else np.asarray(c.validity)
+        for c in parts
+    ])
 
 
 def _take(batch: ColumnBatch, idx: np.ndarray) -> ColumnBatch:

@@ -388,7 +388,59 @@ class _Interpreter:
             return self._limit(plan, path)
         if isinstance(plan, P.TpuDistinct):
             return self._distinct(plan, path)
+        if isinstance(plan, P.TpuUnion):
+            return self._union(plan, path)
         raise DeviceUnsupported(type(plan).__name__)
+
+    def _union(self, plan: P.TpuUnion, path) -> DevBatch:
+        """UNION ALL: concatenate padded children; validity masks carry the
+        interleaved padding (no compaction needed)."""
+        batches = [self.exec(c, path + (i,))
+                   for i, c in enumerate(plan.children)]
+        cols: List[DevCol] = []
+        for i, f in enumerate(plan.schema):
+            parts = [b.cols[i] for b in batches]
+            if f.dtype is DType.STRING:
+                dicts = [np.asarray(c.dictionary, dtype=str) for c in parts]
+                union = np.unique(np.concatenate(dicts))
+                datas = []
+                for c, d in zip(parts, dicts):
+                    lut = jnp.asarray(np.searchsorted(union, d))
+                    datas.append(lut[jnp.clip(c.data, 0, len(d) - 1)])
+                data = jnp.concatenate(datas)
+                dictionary = union.astype(object)
+            else:
+                common = parts[0].data.dtype
+                for c in parts[1:]:
+                    common = jnp.promote_types(common, c.data.dtype)
+                if np.dtype(f.dtype.numpy_dtype).kind == "f":
+                    common = jnp.promote_types(common, jnp.float64)
+                data = jnp.concatenate([c.data.astype(common) for c in parts])
+                dictionary = None
+            if all(c.validity is None for c in parts):
+                valid = None
+            else:
+                valid = jnp.concatenate([
+                    jnp.ones(b.capacity, dtype=bool) if c.validity is None
+                    else c.validity
+                    for c, b in zip(parts, batches)
+                ])
+            i32 = all(c.int32_ok for c in parts)
+            ranges = [c.value_range for c in parts]
+            vrange = None
+            if all(r is not None for r in ranges):
+                vrange = (min(r[0] for r in ranges), max(r[1] for r in ranges))
+            cols.append(DevCol(data, valid, dictionary, i32, vrange))
+        if all(b.row_valid is None for b in batches):
+            row_valid = None
+        else:
+            row_valid = jnp.concatenate([
+                jnp.ones(b.capacity, dtype=bool) if b.row_valid is None
+                else b.row_valid
+                for b in batches
+            ])
+        cap = sum(b.capacity for b in batches)
+        return DevBatch(plan.schema, cols, cap, row_valid)
 
     def _scan(self, plan: P.TpuTableScan) -> DevBatch:
         tmeta = self.table_meta[plan.table_name]

@@ -391,6 +391,19 @@ class Distinct(LogicalPlan):
         return (self.input,)
 
 
+@dataclasses.dataclass(frozen=True)
+class Union(LogicalPlan):
+    """UNION ALL of queries with compatible schemas (column-position
+    semantics; UNION-distinct parses to Distinct(Union(...)))."""
+    children: Tuple[LogicalPlan, ...]
+
+    def inputs(self):
+        return self.children
+
+    def _label(self):
+        return f"Union: {len(self.children)} inputs"
+
+
 def map_plan(plan: LogicalPlan, fn) -> LogicalPlan:
     """Bottom-up plan rewrite."""
     kids = plan.inputs()
@@ -400,4 +413,6 @@ def map_plan(plan: LogicalPlan, fn) -> LogicalPlan:
             plan = dataclasses.replace(plan, input=new_kids[0])
         elif isinstance(plan, Join):
             plan = dataclasses.replace(plan, left=new_kids[0], right=new_kids[1])
+        elif isinstance(plan, Union):
+            plan = dataclasses.replace(plan, children=new_kids)
     return fn(plan)

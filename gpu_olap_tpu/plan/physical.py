@@ -219,6 +219,16 @@ class TpuDistinct(PhysicalPlan):
         return (self.input,)
 
 
+@dataclasses.dataclass(frozen=True)
+class TpuUnion(PhysicalPlan):
+    """UNION ALL: children concatenated by column position; dtypes unified
+    at plan time (ints promote to float where mixed)."""
+    children: Tuple[PhysicalPlan, ...]
+
+    def inputs(self):
+        return self.children
+
+
 # ---------------------------------------------------------------------------
 # Expression lowering / type inference
 # ---------------------------------------------------------------------------
@@ -395,7 +405,31 @@ class _Planner:
         if isinstance(node, L.Distinct):
             child = self.plan(node.input)
             return TpuDistinct(child.schema, child)
+        if isinstance(node, L.Union):
+            return self._plan_union(node)
         raise PlanError(f"Cannot plan {type(node).__name__}")
+
+    def _plan_union(self, node: L.Union) -> PhysicalPlan:
+        kids = [self.plan(c) for c in node.children]
+        first = kids[0].schema
+        for k in kids[1:]:
+            if len(k.schema) != len(first):
+                raise PlanError(
+                    f"UNION inputs have {len(first)} vs {len(k.schema)} columns")
+        fields = []
+        for i, f in enumerate(first):
+            dts = {k.schema.field(i).dtype for k in kids}
+            if len(dts) == 1:
+                dt = f.dtype
+            elif dts <= {DType.INT64, DType.FLOAT64}:
+                dt = DType.FLOAT64
+            else:
+                raise PlanError(
+                    f"UNION column {f.name!r} mixes incompatible types {dts}")
+            fields.append(dataclasses.replace(f, dtype=dt))
+        from ..interop.columnar import Schema as _Schema
+
+        return TpuUnion(_Schema(tuple(fields)).unqualify(), tuple(kids))
 
     # -- scan --------------------------------------------------------------
     def _plan_scan(self, node: L.TableScan) -> PhysicalPlan:

@@ -20,8 +20,8 @@ from typing import List, Optional, Tuple
 from ..plan.logical import (
     Aggregate, Alias, Between, BinaryOp, Case, Cast, Column, Distinct, Expr, Filter,
     FuncCall, InList, IsNull, Join, Limit, Literal, LogicalPlan, Projection, Sort,
-    SortKey, Star, SubqueryAlias, TableScan, UnaryOp, collect_aggregates, map_expr,
-    strip_alias,
+    SortKey, Star, SubqueryAlias, TableScan, UnaryOp, Union, collect_aggregates,
+    map_expr, strip_alias,
 )
 from .tokenizer import SqlError, Token, tokenize
 
@@ -94,10 +94,22 @@ class Parser:
                 self.expect_op(")")
                 if not self.accept_op(","):
                     break
-            plan = self.parse_select()
+            plan = self._parse_set_expr()
             self.ctes = saved
             return plan
-        return self.parse_select()
+        return self._parse_set_expr()
+
+    def _parse_set_expr(self) -> LogicalPlan:
+        plan = self.parse_select()
+        while self.accept_kw("union"):
+            is_all = self.accept_kw("all")
+            if not is_all:
+                self.accept_kw("distinct")
+            right = self.parse_select()
+            plan = Union((plan, right))
+            if not is_all:
+                plan = Distinct(plan)
+        return plan
 
     # -- SELECT ------------------------------------------------------------
     def parse_select(self) -> LogicalPlan:

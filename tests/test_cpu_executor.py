@@ -331,3 +331,36 @@ def test_global_agg_empty_input(engine):
     assert d["n"][0] == 0
     # SUM over empty is NULL
     assert np.isnan(d["s"][0])
+
+
+def test_union_all_and_distinct():
+    import numpy as np
+
+    from gpu_olap_tpu import EngineConfig, OlapEngine
+
+    eng = OlapEngine(EngineConfig(backend="cpu"))
+    eng.register("a", {"k": np.array([1, 2, 3], dtype=np.int64),
+                       "v": np.array([1.5, 2.5, 3.5])})
+    eng.register("b", {"k": np.array([3, 4], dtype=np.int64),
+                       "v": np.array([9, 9], dtype=np.int64)})
+    r = eng.query("SELECT k, v FROM a UNION ALL SELECT k, v FROM b").to_pydict()
+    assert sorted(r["k"].tolist()) == [1, 2, 3, 3, 4]
+    # int column promoted to float alongside the float side
+    assert 9.0 in r["v"].tolist()
+    r2 = eng.query("SELECT k FROM a UNION SELECT k FROM b").to_pydict()
+    assert sorted(r2["k"].tolist()) == [1, 2, 3, 4]
+
+
+def test_union_schema_mismatch_errors():
+    import numpy as np
+    import pytest
+
+    from gpu_olap_tpu import EngineConfig, OlapEngine
+    from gpu_olap_tpu.plan.physical import PlanError
+
+    eng = OlapEngine(EngineConfig(backend="cpu"))
+    eng.register("a", {"k": np.array([1], dtype=np.int64)})
+    eng.register("b", {"k": np.array([1], dtype=np.int64),
+                       "v": np.array([1], dtype=np.int64)})
+    with pytest.raises(PlanError):
+        eng.query("SELECT k FROM a UNION ALL SELECT k, v FROM b")
