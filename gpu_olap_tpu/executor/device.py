@@ -66,6 +66,9 @@ class DevCol:
     # column proven duplicate-free (lazily computed key statistic) — enables
     # the expansion-free lookup join
     unique: bool = False
+    # provenance (table name, table column index) for unfiltered scan columns:
+    # keys a device-resident persistent join index when one exists
+    source: Optional[Tuple[str, int]] = None
 
 
 @dataclasses.dataclass
@@ -151,7 +154,8 @@ class DeviceExecutor:
         )
         for attempt in range(8):
             fn, meta = self._get_compiled(plan, tables)
-            arrays = {name: t["arrays"] for name, t in tables.items()}
+            arrays = {name: {"cols": t["arrays"], "idx": t["dense_idx"]}
+                      for name, t in tables.items()}
             with Timer() as t_exec:
                 out = fn(arrays)
                 flags = {k: bool(v) for k, v in zip(meta["flag_names"], out["flags"])}
@@ -248,6 +252,22 @@ class DeviceExecutor:
                     if host.num_rows <= span <= self.config.direct_join_max_range:
                         uniq = self.catalog.ensure_unique_stat(name, f.name)
                 uniques.append(uniq)
+            # persistent join indexes: for proven-unique bounded key columns,
+            # the dense key->row table is built host-side ONCE per table
+            # version (a trivial numpy scatter) and stays device-resident —
+            # lookup joins then skip the in-trace build entirely
+            dense_idx = {}
+            for i, (f, col) in enumerate(zip(host.schema, host.columns)):
+                if not uniques[i]:
+                    continue
+                st = stats.get(f.name)
+                kmin, kmax = int(st[0]), int(st[1])
+                span = kmax - kmin + 1
+                dense = np.full(span, -1, dtype=np.int32)
+                keys_np = np.asarray(col.data)
+                dense[(keys_np - kmin).astype(np.int64)] = np.arange(
+                    host.num_rows, dtype=np.int32)
+                dense_idx[i] = jax.device_put(dense)
             entry = {
                 "arrays": arrays,
                 "dicts": dicts,
@@ -257,6 +277,7 @@ class DeviceExecutor:
                 "int32_ok": int32_ok,
                 "ranges": ranges,
                 "uniques": uniques,
+                "dense_idx": dense_idx,
             }
             self._table_cache[name] = (ver, entry)
             out[name] = entry
@@ -271,6 +292,9 @@ class DeviceExecutor:
              tuple((str(a[0].dtype), a[1] is not None) for a in t["arrays"]),
              tuple(id(d) if d is not None else None for d in t["dicts"]),
              tuple(t.get("int32_ok", ())),
+             # ranges are trace-time constants (sentinels, kmin/kmax, fold
+             # decisions) — a stale hit would bake wrong bounds
+             tuple(t.get("ranges", ())),
              tuple(t.get("uniques", ())))
             for name, t in sorted(tables.items())
         )
@@ -324,7 +348,9 @@ class DeviceExecutor:
         with Timer() as t:
             fn = jax.jit(run)
             # force trace+compile now so meta is filled and errors surface here
-            shapes = jax.eval_shape(run, {n: t_["arrays"] for n, t_ in tables.items()})
+            shapes = jax.eval_shape(
+                run, {n: {"cols": t_["arrays"], "idx": t_["dense_idx"]}
+                      for n, t_ in tables.items()})
         logger.info("plan traced in %.1f ms (cache key %d entries)",
                     t.seconds * 1e3, len(self._compiled))
         self._compiled[cache_key] = (fn, meta)
@@ -444,7 +470,7 @@ class _Interpreter:
 
     def _scan(self, plan: P.TpuTableScan) -> DevBatch:
         tmeta = self.table_meta[plan.table_name]
-        arrays = self.tables_arrays[plan.table_name]
+        arrays = self.tables_arrays[plan.table_name]["cols"]
         indices = plan.projection if plan.projection is not None else range(len(arrays))
         cols = []
         flags = tmeta.get("int32_ok")
@@ -455,7 +481,8 @@ class _Interpreter:
             cols.append(DevCol(data, validity, tmeta["dicts"][i],
                                bool(flags[i]) if flags else False,
                                ranges[i] if ranges else None,
-                               bool(uniques[i]) if uniques else False))
+                               bool(uniques[i]) if uniques else False,
+                               (plan.table_name, i)))
         cap = tmeta["capacity"]
         n = tmeta["num_rows"]
         row_valid = None
@@ -480,7 +507,8 @@ class _Interpreter:
             cols.append(DevCol(data, valid, dictionary,
                                src.int32_ok if src else False,
                                src.value_range if src else None,
-                               src.unique if src else False))
+                               src.unique if src else False,
+                               src.source if src else None))
         return DevBatch(plan.schema, cols, batch.capacity, batch.row_valid,
                         batch.prefix_rows)
 
@@ -563,6 +591,24 @@ class _Interpreter:
             return None
         return (int(rng[0]), int(rng[1]))
 
+    def _cached_dense_index(self, plan, right: DevBatch):
+        """Device-resident persistent join index for the build key, when the
+        build side is the unfiltered table (row validity is absent or the
+        static scan-padding prefix) — built once per table version."""
+        rexpr = plan.right_keys[0]
+        if not isinstance(rexpr, P.ColumnRef):
+            return None
+        rcol = right.cols[rexpr.index]
+        if rcol.source is None:
+            return None
+        if right.row_valid is not None and right.prefix_rows is None:
+            return None
+        tname, ti = rcol.source
+        tbl = self.tables_arrays.get(tname)
+        if tbl is None:
+            return None
+        return tbl["idx"].get(ti)
+
     def _try_lookup_join(self, plan, left: DevBatch, right: DevBatch,
                          lkeys, rkeys) -> Optional[DevBatch]:
         if plan.join_type not in ("inner", "left"):
@@ -574,8 +620,13 @@ class _Interpreter:
         lk, rk = lkeys[0], rkeys[0]
         rinv = rk["null"] if right.row_valid is None else (rk["null"] | ~right.row_valid)
         pinv = lk["null"] if left.row_valid is None else (lk["null"] | ~left.row_valid)
-        dense_row, rel_c, inr = join_ops.lookup_slots(
-            rk["code"], rinv, int(rng[0]), int(rng[1]), lk["code"], pinv)
+        dense_row = self._cached_dense_index(plan, right)
+        if dense_row is not None:
+            rel_c, inr = join_ops.dense_probe(int(rng[0]), int(rng[1]),
+                                              lk["code"], pinv)
+        else:
+            dense_row, rel_c, inr = join_ops.lookup_slots(
+                rk["code"], rinv, int(rng[0]), int(rng[1]), lk["code"], pinv)
 
         # Per-column dense VALUE tables (build-sized gathers, cheap) replace
         # per-probe-row gathers through dense_row.  A null-free int column
@@ -758,8 +809,14 @@ class _Interpreter:
                         else (rk["null"] | ~right.row_valid))
                 pinv = (lk["null"] if left.row_valid is None
                         else (lk["null"] | ~left.row_valid))
-                _, matched = join_ops.lookup_join(
-                    rk["code"], rinv, rng[0], rng[1], lk["code"], pinv)
+                dense_row = self._cached_dense_index(plan, right)
+                if dense_row is not None:
+                    rel_c, inr = join_ops.dense_probe(rng[0], rng[1],
+                                                      lk["code"], pinv)
+                    matched = inr & (dense_row[rel_c] >= 0)
+                else:
+                    _, matched = join_ops.lookup_join(
+                        rk["code"], rinv, rng[0], rng[1], lk["code"], pinv)
                 return matched.astype(jnp.int64)
         fold_range = self._fold_range(plan, lkeys, rkeys)
         lkeys_t, rkeys_t = self._unified_key_tuples(plan, left, right,

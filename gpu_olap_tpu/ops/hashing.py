@@ -30,10 +30,24 @@ def hash64(x: jnp.ndarray) -> jnp.ndarray:
     return h.astype(jnp.int64) & jnp.int64(0x7FFFFFFFFFFFFFFF)
 
 
+def hash32(x: jnp.ndarray) -> jnp.ndarray:
+    """32-bit MurmurHash3 finalizer over folded int64 keys — all-native ops
+    (64-bit multiplies are emulated on TPU), avalanche quality preserved by
+    folding the high word in (``join_kernels.cuh:26-33`` is the 32-bit
+    variant the reference uses for int32 keys)."""
+    u = x.astype(jnp.uint32) ^ (x >> 32).astype(jnp.uint32)
+    u = u ^ (u >> 16)
+    u = u * jnp.uint32(0x85EBCA6B)
+    u = u ^ (u >> 13)
+    u = u * jnp.uint32(0xC2B2AE35)
+    u = u ^ (u >> 16)
+    return u
+
+
 def partition_of(key: jnp.ndarray, num_partitions: int) -> jnp.ndarray:
     """Radix partition id of a key (hash then modulo, like hash % capacity at
-    ``join_kernels.cuh:93``)."""
-    return (hash64(key) % num_partitions).astype(jnp.int64)
+    ``join_kernels.cuh:93``) — int32 lanes, native-width hash."""
+    return (hash32(key) % jnp.uint32(num_partitions)).astype(jnp.int32)
 
 
 def bucket_layout(dest: jnp.ndarray, row_valid, num_buckets: int, bucket_cap: int):
@@ -46,20 +60,23 @@ def bucket_layout(dest: jnp.ndarray, row_valid, num_buckets: int, bucket_cap: in
     This is the radix_partition_kernel analogue: histogram + prefix-sum +
     scatter, with the scatter expressed as a stable sort by destination."""
     n = dest.shape[0]
-    arange = jnp.arange(n, dtype=jnp.int64)
+    arange = jnp.arange(n, dtype=jnp.int32)
+    dest32 = dest.astype(jnp.int32)
     if row_valid is None:
-        dest_eff = dest
+        dest_eff = dest32
     else:
-        dest_eff = jnp.where(row_valid, dest, num_buckets)  # invalid -> drop bucket
+        dest_eff = jnp.where(row_valid, dest32,
+                             jnp.int32(num_buckets))  # invalid -> drop bucket
     # stable sort rows by destination; rows of bucket b occupy a contiguous run
     sorted_dest, sorted_rows = jax.lax.sort((dest_eff, arange), num_keys=1)
-    # histogram from run boundaries (binary search — scatter-free)
-    bucket_ids = jnp.arange(num_buckets + 1, dtype=sorted_dest.dtype)
+    # histogram from run boundaries (binary search — scatter-free; the query
+    # set is tiny, so searchsorted's internal scatter is bucket-sized)
+    bucket_ids = jnp.arange(num_buckets + 1, dtype=jnp.int32)
     bounds = jnp.searchsorted(sorted_dest, bucket_ids, side="left", method="sort")
     counts = bounds[1:] - bounds[:-1]
     overflow = jnp.max(counts) > bucket_cap
     offsets = bounds[:-1]  # exclusive prefix over buckets
-    slot = jnp.arange(bucket_cap, dtype=jnp.int64)[None, :]
+    slot = jnp.arange(bucket_cap, dtype=jnp.int32)[None, :]
     src = jnp.clip(offsets[:, None] + slot, 0, n - 1)
     gather_idx = sorted_rows[src]
     return gather_idx, counts.astype(jnp.int64), overflow

@@ -264,9 +264,17 @@ def lookup_slots(build_code, build_invalid, kmin: int, kmax: int,
         cnt > 0, srow[jnp.clip(lo.astype(jnp.int32), 0, nb - 1)],
         jnp.int32(-1))
 
+    rel_c, inr = dense_probe(kmin, kmax, probe_code, probe_invalid)
+    return dense_row, rel_c, inr
+
+
+def dense_probe(kmin: int, kmax: int, probe_code, probe_invalid):
+    """Slot positions + in-range flags for probing dense [kmin, kmax] tables.
+
+    Probe-side arithmetic stays int32 where possible (int64 is emulated):
+    range-test BEFORE subtracting so no intermediate can overflow."""
+    span = int(kmax) - int(kmin) + 1
     if probe_code.dtype == jnp.int32 and span <= np.iinfo(np.int32).max:
-        # probe-side arithmetic stays int32 (int64 is emulated): range-test
-        # BEFORE subtracting so no intermediate can overflow
         k0, k1 = np.int32(kmin), np.int32(kmax)
         inr = (probe_code >= k0) & (probe_code <= k1) & (~probe_invalid)
         rel_c = jnp.clip(probe_code, k0, k1) - k0
@@ -274,7 +282,7 @@ def lookup_slots(build_code, build_invalid, kmin: int, kmax: int,
         rel = probe_code.astype(jnp.int64) - int(kmin)
         inr = (rel >= 0) & (rel < span) & (~probe_invalid)
         rel_c = jnp.clip(rel, 0, span - 1)
-    return dense_row, rel_c, inr
+    return rel_c, inr
 
 
 def lookup_join(build_code, build_invalid, kmin: int, kmax: int,
