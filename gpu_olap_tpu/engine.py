@@ -117,7 +117,9 @@ class OlapEngine:
                                     "single-device path", e)
                 if batch is None:
                     try:
-                        batch = self._get_device_executor().execute(physical)
+                        dev = self._get_device_executor()
+                        batch = dev.execute(physical)
+                        backend = getattr(dev, "last_backend", "device")
                     except DeviceUnsupported as e:
                         logger.info("device path unsupported (%s); CPU fallback", e)
                         from .executor.cpu import CpuExecutor

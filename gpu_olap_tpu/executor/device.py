@@ -134,14 +134,18 @@ class DeviceExecutor:
     # public entry
     # ------------------------------------------------------------------
     def execute(self, plan: P.PhysicalPlan) -> ColumnBatch:
+        # backend actually used by this call, for QueryResult.meta["backend"]
+        self.last_backend = "device"
         if self._has_uncached_scan(plan):
             # out-of-core: stream chunks through a partial-aggregate pipeline
             from .streaming import NotStreamable, StreamingAggregator
 
             try:
-                return StreamingAggregator(
+                batch = StreamingAggregator(
                     self.catalog, self.config, _Interpreter
                 ).execute(plan)
+                self.last_backend = "streaming"
+                return batch
             except NotStreamable as e:
                 logger.warning(
                     "plan not streamable (%s); loading table fully "

@@ -17,6 +17,13 @@ class QueryResult:
         self.metrics = metrics or {}
 
     @property
+    def meta(self) -> dict:
+        """Execution metadata — ``meta["backend"]`` says which path actually
+        ran ("device" | "streaming" | "distributed" | "cpu" | "cpu-fallback" |
+        "result-cache"); tests assert on it so fallbacks are never silent."""
+        return self.metrics
+
+    @property
     def num_rows(self) -> int:
         return self._batch.num_rows
 

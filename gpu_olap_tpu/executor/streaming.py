@@ -58,6 +58,28 @@ def _strip_middle(node: P.PhysicalPlan):
     return list(reversed(middle)), node
 
 
+def split_above_aggregate(plan: P.PhysicalPlan):
+    """Walk down single-input operators (SELECT-list projection, HAVING
+    filter, ORDER BY, LIMIT, DISTINCT) to the aggregate subtree.
+
+    The planner always places the SELECT-list ``TpuProjection`` above the
+    aggregate, so matching strictly at the root would reject every real SQL
+    plan.  The small post-aggregate operators run on the host over the
+    (max_groups-bounded) group results instead — mirroring
+    ``dist_executor._split_above_aggregate``.
+    """
+    node = plan
+    seen_above = False
+    while True:
+        if isinstance(node, P.TpuAggregate):
+            return node, seen_above
+        kids = node.inputs()
+        if len(kids) != 1:
+            raise NotStreamable(type(node).__name__)
+        seen_above = True
+        node = kids[0]
+
+
 def match_streamable(plan: P.PhysicalPlan, catalog) -> _StreamablePipeline:
     """Aggregate over (F|P)* over [Join(streamed probe, cached build) |
     streamed TableScan]."""
@@ -100,6 +122,19 @@ class StreamingAggregator:
         self._interpreter_cls = interpreter_cls
 
     def execute(self, plan: P.PhysicalPlan) -> ColumnBatch:
+        agg_root, has_above = split_above_aggregate(plan)
+        batch = self._execute_aggregate(agg_root)
+        if has_above:
+            # post-aggregate operators run on the host over the small
+            # group-result batch (same mechanism as the distributed path)
+            from .cpu import CpuExecutor
+
+            cpu = CpuExecutor(self.catalog, self.config)
+            cpu.leaf_results = {id(agg_root): batch}
+            return cpu.execute(plan)
+        return batch
+
+    def _execute_aggregate(self, plan: P.TpuAggregate) -> ColumnBatch:
         pipe = match_streamable(plan, self.catalog)
         agg = pipe.aggregate
         chunk_rows = self.config.batch_size
@@ -298,21 +333,6 @@ class StreamingAggregator:
 
         return jax.jit(step, donate_argnums=(0,))
 
-
-def _apply_one(interp, op, batch):
-    """Apply one Filter/Projection physical operator to a DevBatch."""
-    from .device import DevBatch, DevCol
-
-    if isinstance(op, P.TpuFilter):
-        data, valid, _ = interp.eval_expr(op.predicate, batch)
-        mask = filter_ops.combine_mask(batch.row_valid, data, valid)
-        return DevBatch(op.schema, batch.cols, batch.capacity, mask)
-    ncols = []
-    for e in op.exprs:
-        d, v, dd = interp.eval_expr(e, batch)
-        ncols.append(DevCol(d, v, dd))
-    return DevBatch(op.schema, ncols, batch.capacity, batch.row_valid)
-
     # ------------------------------------------------------------------
     def _finalize(self, agg: P.TpuAggregate, state, max_groups: int) -> ColumnBatch:
         from .device import _decode_key
@@ -340,6 +360,21 @@ def _apply_one(interp, op, batch):
                 p_i += 1
             cols.append(_finalize_agg(a, vals))
         return ColumnBatch(agg.schema, cols, len(idx))
+
+
+def _apply_one(interp, op, batch):
+    """Apply one Filter/Projection physical operator to a DevBatch."""
+    from .device import DevBatch, DevCol
+
+    if isinstance(op, P.TpuFilter):
+        data, valid, _ = interp.eval_expr(op.predicate, batch)
+        mask = filter_ops.combine_mask(batch.row_valid, data, valid)
+        return DevBatch(op.schema, batch.cols, batch.capacity, mask)
+    ncols = []
+    for e in op.exprs:
+        d, v, dd = interp.eval_expr(e, batch)
+        ncols.append(DevCol(d, v, dd))
+    return DevBatch(op.schema, ncols, batch.capacity, batch.row_valid)
 
 
 def _partial_layout(agg: P.TpuAggregate):

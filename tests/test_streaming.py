@@ -46,7 +46,9 @@ def test_streamed_groupby_matches_oracle(big_parquet):
     path, _ = big_parquet
     sql = ("SELECT k, COUNT(*) AS n, SUM(v) AS s, AVG(f) AS a, "
            "MIN(v) AS mn, MAX(f) AS mx FROM big GROUP BY k")
-    got = _streaming_engine(path).query(sql).to_pandas().sort_values("k").reset_index(drop=True)
+    res = _streaming_engine(path).query(sql)
+    assert res.meta["backend"] == "streaming"
+    got = res.to_pandas().sort_values("k").reset_index(drop=True)
     exp = _oracle_engine(path).query(sql).to_pandas().sort_values("k").reset_index(drop=True)
     assert got.k.tolist() == exp.k.tolist()
     assert got.n.tolist() == exp.n.tolist()
@@ -59,7 +61,9 @@ def test_streamed_groupby_matches_oracle(big_parquet):
 def test_streamed_filter_agg(big_parquet):
     path, table = big_parquet
     sql = "SELECT COUNT(*) AS n, SUM(v) AS s FROM big WHERE v > 500"
-    got = _streaming_engine(path).query(sql).to_pydict()
+    res = _streaming_engine(path).query(sql)
+    assert res.meta["backend"] == "streaming"
+    got = res.to_pydict()
     v = table.column("v").to_numpy()
     mask = v > 500
     assert got["n"][0] == mask.sum()
@@ -69,7 +73,9 @@ def test_streamed_filter_agg(big_parquet):
 def test_streamed_projection_expr(big_parquet):
     path, table = big_parquet
     sql = "SELECT k, SUM(v * 2 + 1) AS s FROM big GROUP BY k"
-    got = _streaming_engine(path).query(sql).to_pandas().sort_values("k").reset_index(drop=True)
+    res = _streaming_engine(path).query(sql)
+    assert res.meta["backend"] == "streaming"
+    got = res.to_pandas().sort_values("k").reset_index(drop=True)
     import pandas as pd
 
     df = pd.DataFrame({"k": table.column("k").to_numpy(),
@@ -83,7 +89,9 @@ def test_non_streamable_falls_back(big_parquet):
     path, table = big_parquet
     # ORDER BY over raw rows is not an aggregation pipeline -> full-load fallback
     eng = _streaming_engine(path)
-    got = eng.query("SELECT v FROM big ORDER BY v DESC LIMIT 5").to_pydict()
+    res = eng.query("SELECT v FROM big ORDER BY v DESC LIMIT 5")
+    assert res.meta["backend"] == "device"  # full-load fallback, not streamed
+    got = res.to_pydict()
     v = np.sort(table.column("v").to_numpy())[::-1][:5]
     assert list(got["v"]) == list(v)
 
@@ -92,6 +100,7 @@ def test_streamed_global_agg_empty_filter(big_parquet):
     path, _ = big_parquet
     sql = "SELECT COUNT(*) AS n, SUM(v) AS s FROM big WHERE v > 100000"
     got = _streaming_engine(path).query(sql)
+    assert got.meta["backend"] == "streaming"
     d = got.to_pydict()
     assert d["n"][0] == 0
 
@@ -106,7 +115,9 @@ def test_streamed_join_aggregate(big_parquet):
     eng.register("dim", {"k": dim_k, "w": dim_w})
     sql = ("SELECT d.w, COUNT(*) AS n, SUM(b.v) AS s FROM big b "
            "JOIN dim d ON b.k = d.k WHERE b.v > 100 GROUP BY d.w")
-    got = eng.query(sql).to_pandas().sort_values("w").reset_index(drop=True)
+    res = eng.query(sql)
+    assert res.meta["backend"] == "streaming"
+    got = res.to_pandas().sort_values("w").reset_index(drop=True)
 
     import pandas as pd
 
@@ -128,7 +139,9 @@ def test_streamed_join_duplicate_build_keys(big_parquet):
     eng.register("dim", {"k": dim_k, "w": dim_w})
     sql = ("SELECT COUNT(*) AS n, SUM(d.w) AS s FROM big b "
            "JOIN dim d ON b.k = d.k")
-    got = eng.query(sql).to_pydict()
+    res = eng.query(sql)
+    assert res.meta["backend"] == "streaming"
+    got = res.to_pydict()
 
     import pandas as pd
 
@@ -136,3 +149,24 @@ def test_streamed_join_duplicate_build_keys(big_parquet):
     j = df.merge(pd.DataFrame({"k": dim_k, "w": dim_w}), on="k")
     assert got["n"][0] == len(j)
     assert got["s"][0] == j.w.sum()
+
+
+def test_streamed_post_aggregate_ops(big_parquet):
+    """HAVING / ORDER BY / LIMIT above the aggregate must not defeat
+    streaming: the aggregate subtree streams, post-ops run on the host over
+    the small group results."""
+    path, table = big_parquet
+    sql = ("SELECT k, SUM(v) AS s FROM big GROUP BY k "
+           "HAVING SUM(v) > 1000 ORDER BY s DESC LIMIT 10")
+    res = _streaming_engine(path).query(sql)
+    assert res.meta["backend"] == "streaming"
+    got = res.to_pandas()
+
+    import pandas as pd
+
+    df = pd.DataFrame({"k": table.column("k").to_numpy(),
+                       "v": table.column("v").to_numpy()})
+    exp = df.groupby("k").v.sum().reset_index(name="s")
+    exp = exp[exp.s > 1000].sort_values("s", ascending=False).head(10)
+    assert got.s.tolist() == exp.s.tolist()
+    assert got.k.tolist() == exp.k.tolist()
