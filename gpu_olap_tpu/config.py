@@ -26,6 +26,9 @@ class EngineConfig:
 
     # --- device execution policy ---
     backend: str = "auto"                     # "auto" | "device" | "cpu" (numpy oracle)
+    # Pallas kernels in the execution path (fused post-sort aggregation,
+    # fused filter+aggregate); interpreted off-TPU. False = pure-XLA lowering.
+    use_pallas: bool = True
     prefer_float32: bool = False              # use f32 compute for float cols (TPU fast path)
     # Static-shape bucketing: row counts are padded up to the next bucket so that
     # recompiles are bounded (the kernel-cache analogue of codegen.rs:36-47).

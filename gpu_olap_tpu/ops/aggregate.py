@@ -42,6 +42,7 @@ from ..utils.jaxenv import ensure_jax
 jax = ensure_jax()
 import jax.numpy as jnp  # noqa: E402
 
+from ..utils.metrics import GLOBAL_METRICS  # noqa: E402
 from .dtypes import INT64_MAX, INT64_MIN, key_code, key_fill  # noqa: E402
 
 
@@ -88,6 +89,7 @@ def groupby_aggregate(
     max_groups: int,
     n_rows: Optional[int] = None,
     prefix_rows: Optional[int] = None,
+    allow_pallas: bool = True,
 ):
     """Grouped aggregation over padded columns.
 
@@ -273,6 +275,12 @@ def groupby_aggregate(
         need_perm = True
         plans.append(("fallback", None))
 
+    seg = _maybe_seg_agg_path(key_ops, ride_ops, ride_null_slot, payloads,
+                              need_perm, plans, aggs, static_prefix, n,
+                              max_groups, allow_pallas)
+    if seg is not None:
+        return seg
+
     operands = key_ops + ride_ops + payloads
     if need_perm:
         operands = operands + [arange32]
@@ -430,6 +438,117 @@ def groupby_aggregate(
             perm = sorted_ops[-1]
             results.append(_agg_one_fallback(spec, perm, gid, in_prefix,
                                              starts, ends, n))
+    return group_codes, results, n_groups, overflow
+
+
+def _maybe_seg_agg_path(key_ops, ride_ops, ride_null_slot, payloads,
+                        need_perm, plans, aggs, static_prefix, n,
+                        max_groups: int, allow_pallas: bool):
+    """Pallas fused post-sort path (ops/pallas/seg_agg.py) for the hot shape:
+
+    ONE null-free int32 group key (pads, if any, already sentinel-masked to
+    INT32_MAX by the static-prefix branch — zone-map headroom proves no real
+    key collides) and aggregates that all ride the sort: COUNT(*), plus
+    SUM/MIN/MAX/AVG/COUNT over one null-free int32 argument.  One
+    ``lax.sort`` + one Pallas pass replaces the whole XLA post-sort pipeline
+    (boundary-compaction sort, 64-bit cumsums, gathers) — the TPU answer to
+    the reference's shared-memory hash aggregate (``join_kernels.cuh:216-240``).
+
+    Returns the standard (group_codes, results, n_groups, overflow) tuple or
+    None when the shape doesn't match (caller falls through to XLA).
+    """
+    if not allow_pallas or need_perm:
+        return None
+    if len(key_ops) != 1 or key_ops[0].dtype != jnp.int32:
+        return None
+    from .pallas.seg_agg import SB, seg_agg_sorted_i32
+
+    if n < SB:
+        return None  # below one superblock XLA is fine; skip kernel overhead
+    pad = (-n) % SB
+    if pad and static_prefix is None:
+        # rounding up requires appending INT32_MAX sentinel rows after the
+        # sort; only the static-prefix branch proves no real key collides
+        return None
+    k0 = key_ops[0]
+    if len(ride_ops) == 1 and not payloads:
+        # ride shape: MIN/MAX present, everything rides the (key, value) sort
+        if ride_null_slot is not None or ride_ops[0].dtype != jnp.int32:
+            return None
+        if any(kind not in ("size", "primary") for kind, _ in plans):
+            return None
+        val_lane = ride_ops[0]
+    elif not ride_ops and len(payloads) == 1:
+        # payload shape: SUM over one null-free int32 argument (+ COUNT(*))
+        if payloads[0].dtype != jnp.int32:
+            return None
+        if any(kind not in ("size", "sum") or
+               (kind == "sum" and slot != (0, None))
+               for kind, slot in plans):
+            return None
+        val_lane = payloads[0]
+    elif not ride_ops and not payloads \
+            and all(kind == "size" for kind, _ in plans):
+        # COUNT(*)-only / DISTINCT: no value lane — reuse the sorted keys as
+        # the value lane (trivially ascending within each group)
+        val_lane = None
+    else:
+        return None
+
+    if val_lane is None:
+        (sk,) = jax.lax.sort((k0,), num_keys=1)
+        sv = sk
+    else:
+        # in-group order is free for SUM, so the payload can always serve as
+        # a second sort key; for the ride shape it is one by design
+        sk, sv = jax.lax.sort((k0, val_lane), num_keys=2)
+    if pad:
+        # sentinel pads sort last by construction: appending keeps sortedness
+        sk = jnp.concatenate(
+            [sk, jnp.full(pad, np.iinfo(np.int32).max, jnp.int32)])
+        sv = jnp.concatenate([sv, jnp.zeros(pad, jnp.int32)])
+
+    interpret = jax.default_backend() != "tpu"
+    key_g, cnt_g, sum64, mn_g, mx_g, ng32 = seg_agg_sorted_i32(
+        sk, sv, max_groups, interpret)
+    # pads (when present) form exactly one trailing sentinel group
+    has_sentinel = (static_prefix is not None and static_prefix < n) or pad > 0
+    n_groups = (ng32 - (1 if has_sentinel else 0)).astype(jnp.int64)
+    overflow = n_groups > max_groups
+
+    g_idx = jnp.arange(max_groups, dtype=jnp.int32)
+    exists = g_idx < n_groups
+    kg = key_g[:max_groups]
+    fill = jnp.asarray(key_fill(kg.dtype), dtype=kg.dtype)
+    group_codes = [(jnp.where(exists, kg, fill), None)]
+    sizes64 = jnp.where(exists, cnt_g[:max_groups].astype(jnp.int64),
+                        jnp.zeros((), jnp.int64))
+
+    results = []
+    for spec, (kind, _slot) in zip(aggs, plans):
+        acc = spec["acc_dtype"]
+        if kind == "size" or spec["func"] == "count":
+            results.append((sizes64, None))
+            continue
+        func = spec["func"]
+        if func in ("min", "max"):
+            out = (mn_g if func == "min" else mx_g)[:max_groups]
+            out = jnp.where(exists, out, jnp.zeros((), out.dtype))
+            # int32 stays int32 on the wire (the host link widens), matching
+            # the XLA primary path
+            if np.dtype(acc) != np.dtype(np.int64):
+                out = out.astype(acc)
+            results.append((out, None))
+        elif func == "sum":
+            s = jnp.where(exists, sum64[:max_groups], jnp.zeros((), jnp.int64))
+            if np.dtype(acc) != np.dtype(np.int64):
+                s = s.astype(acc)  # exact: int32 inputs sum exactly in int64
+            results.append((s, None))
+        else:  # avg — exact int64 sum / exact count in f64
+            a = (sum64[:max_groups].astype(jnp.float64)
+                 / jnp.maximum(sizes64, 1).astype(jnp.float64))
+            results.append((jnp.where(exists, a, 0.0), None))
+    GLOBAL_METRICS.bump("pallas_seg_agg_trace")
     return group_codes, results, n_groups, overflow
 
 

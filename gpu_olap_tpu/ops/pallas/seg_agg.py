@@ -1,0 +1,351 @@
+"""Pallas TPU kernel: post-sort segmented aggregation (the group-by hot path).
+
+The reference's CUDA hash aggregate is an atomicAdd shared-memory table
+(``join_kernels.cuh:216-240``, ``aggregate_kernel.rs:1-8``).  The TPU engine
+first sorts (key, value) with ``lax.sort`` — that part is near XLA's floor —
+but the XLA *post-sort* pipeline (run flags, group-id cumsum, a second
+boundary-compaction sort, per-aggregate 64-bit cumsums, boundary gathers)
+costs ~5x the sort itself.  This kernel replaces all of it with ONE pass over
+the sorted lanes:
+
+* the sequential TPU grid walks superblocks of ``SB`` rows; inside, chunks of
+  ``CHUNK`` rows are processed with vector ops;
+* per chunk, segment membership one-hot matrices hit the MXU:
+  COUNT/SUM partials via membership @ 12-bit value splits (each partial
+  <= 2^21 so f32 accumulation is exact), group key / MIN / MAX via one-hot
+  boundary gathers of 16-bit splits (single product, exact);
+* MIN/MAX exploit the ride-the-sort invariant (value is the second sort key,
+  so within a group values ascend: min = first row, max = last row);
+* the group whose run spans a chunk/superblock boundary is carried in 64-bit
+  emulated (hi, lo) int32 pairs with wrap-around carry detection — no 64-bit
+  VPU ops;
+* each group's outputs are written exactly once, when its run ends, into a
+  VMEM staging window that is DMA'd to HBM once per superblock.
+
+Reads 8 bytes per row, writes ~6 x 4 bytes per group.  Padding rows must be
+pre-masked to key = INT32_MAX (they sort last and form one trailing sentinel
+group the caller drops).
+"""
+
+from __future__ import annotations
+
+import functools
+
+from ...utils.jaxenv import ensure_jax
+
+jax = ensure_jax()
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+CHUNK = 512                 # rows per inner iteration (one-hot tile edge)
+CPS = 64                    # chunks per superblock (grid step)
+SB = CHUNK * CPS            # rows per grid step
+SBW = SB + CHUNK            # staging window: SB flags + the spanning group
+
+_I32_MIN = np.int32(np.iinfo(np.int32).min)
+
+
+def _u_lt(a, b):
+    """Unsigned a < b on int32 lanes (bias by INT32_MIN flips the order)."""
+    return (a ^ _I32_MIN) < (b ^ _I32_MIN)
+
+
+def _add64(hi1, lo1, hi2, lo2):
+    """(hi1,lo1) + (hi2,lo2) as emulated int64 over int32 pairs (wrapping
+    low add + unsigned carry detection).  Works element-wise or on scalars."""
+    lo = lo1 + lo2
+    carry = _u_lt(lo, lo1).astype(jnp.int32)
+    return hi1 + hi2 + carry, lo
+
+
+def _split64(hi_small, shift):
+    """(value << shift) of a small int32 as a (hi, lo) int32 pair."""
+
+    def f(v):
+        if shift == 0:
+            return (v >> 31), v  # sign-extend
+        return (v >> (32 - shift)), (v << shift)
+
+    return f(hi_small)
+
+
+def _prefix_sum_i32(x):
+    """Inclusive prefix sum of an int32 vector — log-step shift-adds
+    (``cumsum`` has no Pallas TPU lowering)."""
+    n = x.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    d = 1
+    while d < n:
+        sh = pltpu.roll(x, np.int32(d), 0)  # sh[i] = x[i - d] (wrapping)
+        x = x + jnp.where(iota >= np.int32(d), sh, np.int32(0))
+        d *= 2
+    return x
+
+
+def _onehot_extract(vec_i32, idx):
+    """vec[idx] via a masked integer reduction (no dynamic vector indexing)."""
+    n = vec_i32.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+    return jnp.sum(jnp.where(iota == idx, vec_i32, np.int32(0)),
+                   dtype=jnp.int32)
+
+
+def _seg_agg_kernel(keys_ref, vals_ref,
+                    key_out, cnt_out, shi_out, slo_out, mn_out, mx_out,
+                    ng_out,
+                    keys_s, vals_s, stage, smem, sems):
+    """One superblock.  smem layout (int32):
+    0: groups_before (window base in the +1-lead output arrays)
+    1: open_cnt   2: open_sum_hi  3: open_sum_lo
+    4: open_min   5: open_max     6: open_key
+    """
+    i = pl.program_id(0)
+    last = pl.num_programs(0) - 1
+    out_cap = key_out.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        smem[0] = 0
+        smem[1] = 0
+        smem[2] = 0
+        smem[3] = 0
+        smem[4] = 0
+        smem[5] = 0
+        smem[6] = 0
+        # first global row forces a new-group flag; carries land in the
+        # dummy lead slot (gid -1 -> out[0]) and are sliced off outside
+        # (1-element slices: TPU VMEM disallows scalar stores)
+        keys_s[pl.ds(0, 1)] = keys_ref[pl.ds(0, 1)]
+        vals_s[pl.ds(0, 1)] = vals_ref[pl.ds(0, 1)]
+
+    # stage the block shifted by one: slot j+1 = row j, slot 0 = previous
+    # step's last row (kept in place from the previous iteration)
+    keys_s[pl.ds(1, SB)] = keys_ref[:]
+    vals_s[pl.ds(1, SB)] = vals_ref[:]
+
+    win_base = smem[0]
+
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK,), 0)
+    # membership column ids: column s holds segment s+1
+    seg_cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0) + 1
+
+    def chunk(state):
+        c, (ocnt, oshi, oslo, omin, omax, okey, olocal) = state
+        off = c * CHUNK
+        k = keys_s[pl.ds(off + 1, CHUNK)]
+        kp = keys_s[pl.ds(off, CHUNK)]
+        v = vals_s[pl.ds(off + 1, CHUNK)]
+        vp = vals_s[pl.ds(off, CHUNK)]
+
+        flags = k != kp
+        is_first_row = (i == 0) & (c == 0)
+        flags = flags | ((iota_c == 0) & is_first_row)
+        seg = _prefix_sum_i32(flags.astype(jnp.int32))     # 0..CHUNK
+        nloc = _onehot_extract(seg, CHUNK - 1)             # flags in chunk
+
+        # -- open-run (segment 0) partials fold into the carry ------------
+        m0 = seg == 0
+        cnt0 = jnp.sum(m0.astype(jnp.int32), dtype=jnp.int32)
+        s0_lo = jnp.sum(jnp.where(m0, v & 0xFFF, np.int32(0)),
+                        dtype=jnp.int32)
+        s0_md = jnp.sum(jnp.where(m0, (v >> 12) & 0xFFF, np.int32(0)),
+                        dtype=jnp.int32)
+        s0_hi = jnp.sum(jnp.where(m0, v >> 24, np.int32(0)), dtype=jnp.int32)
+        ocnt = ocnt + cnt0
+        ahi, alo = _split64(s0_md, 12)
+        bhi, blo = _split64(s0_hi, 24)
+        oshi, oslo = _add64(oshi, oslo, 0, s0_lo)
+        oshi, oslo = _add64(oshi, oslo, ahi, alo)
+        oshi, oslo = _add64(oshi, oslo, bhi, blo)
+        omax = _onehot_extract(v, CHUNK - 1)               # ascending in-group
+
+        # -- per-segment partials on the MXU ------------------------------
+        # (bool->f32 via where: Mosaic has no direct bool->float convert)
+        # M_T[s, j] = row j belongs to segment s+1
+        m_t = jnp.where(seg_cols == seg[None, :],
+                        jnp.float32(1.0), jnp.float32(0.0))
+        # GS_T[s, j] = row j STARTS segment s+1 (one-hot row)
+        gs_t = m_t * jnp.where(flags[None, :],
+                               jnp.float32(1.0), jnp.float32(0.0))
+
+        p_sum = jnp.stack([
+            (v & 0xFFF).astype(jnp.float32),
+            ((v >> 12) & 0xFFF).astype(jnp.float32),
+            (v >> 24).astype(jnp.float32),
+            jnp.ones((CHUNK,), jnp.float32),
+        ], axis=1)
+        r_sum = jnp.dot(m_t, p_sum, preferred_element_type=jnp.float32)
+
+        p_gth = jnp.stack([
+            (k & 0xFFFF).astype(jnp.float32),
+            ((k >> 16) & 0xFFFF).astype(jnp.float32),
+            (v & 0xFFFF).astype(jnp.float32),
+            ((v >> 16) & 0xFFFF).astype(jnp.float32),
+            (vp & 0xFFFF).astype(jnp.float32),
+            ((vp >> 16) & 0xFFFF).astype(jnp.float32),
+        ], axis=1)
+        r_gth = jnp.dot(gs_t, p_gth, preferred_element_type=jnp.float32)
+
+        def merge16(lo_f, hi_f):
+            return lo_f.astype(jnp.int32) | (hi_f.astype(jnp.int32) << 16)
+
+        seg_cnt = r_sum[:, 3].astype(jnp.int32)
+        seg_shi, seg_slo = _add64(
+            *_split64(r_sum[:, 1].astype(jnp.int32), 12),
+            *_split64(r_sum[:, 2].astype(jnp.int32), 24))
+        seg_shi, seg_slo = _add64(seg_shi, seg_slo,
+                                  0, r_sum[:, 0].astype(jnp.int32))
+        seg_key = merge16(r_gth[:, 0], r_gth[:, 1])
+        seg_min = merge16(r_gth[:, 2], r_gth[:, 3])
+        # max of segment s = value on the row BEFORE segment s+1 starts;
+        # index s of r_gth(prev lanes) is exactly that for the slot layout
+        seg_maxprev = merge16(r_gth[:, 4], r_gth[:, 5])
+
+        # -- window vectors: slot 0 = finalized open group, slot s>=1 =
+        #    segment s (slots > nloc are garbage, overwritten later) -------
+        def lead(scalar, rolled):
+            return jnp.where(iota_c == 0, scalar, rolled)
+
+        @pl.when(nloc > 0)
+        def _():
+            one = np.int32(1)
+            w_cnt = lead(ocnt, pltpu.roll(seg_cnt, one, 0))
+            w_shi = lead(oshi, pltpu.roll(seg_shi, one, 0))
+            w_slo = lead(oslo, pltpu.roll(seg_slo, one, 0))
+            w_key = lead(okey, pltpu.roll(seg_key, one, 0))
+            w_min = lead(omin, pltpu.roll(seg_min, one, 0))
+            # max lane is NOT rolled: seg_maxprev[s] is already segment s's
+            # max (prev-row value where segment s+1 starts), unlike the other
+            # lanes where index s holds segment s+1; slot 0 (the finalized
+            # open run = segment 0) is seg_maxprev[0] itself
+            w_max = seg_maxprev
+            stage[0, pl.ds(olocal, CHUNK)] = w_key
+            stage[1, pl.ds(olocal, CHUNK)] = w_cnt
+            stage[2, pl.ds(olocal, CHUNK)] = w_shi
+            stage[3, pl.ds(olocal, CHUNK)] = w_slo
+            stage[4, pl.ds(olocal, CHUNK)] = w_min
+            stage[5, pl.ds(olocal, CHUNK)] = w_max
+
+        # -- new open group = last segment of the chunk --------------------
+        sel = nloc - 1
+        ocnt = jnp.where(nloc > 0, _onehot_extract(seg_cnt, sel), ocnt)
+        oshi = jnp.where(nloc > 0, _onehot_extract(seg_shi, sel), oshi)
+        oslo = jnp.where(nloc > 0, _onehot_extract(seg_slo, sel), oslo)
+        okey = jnp.where(nloc > 0, _onehot_extract(seg_key, sel), okey)
+        omin = jnp.where(nloc > 0, _onehot_extract(seg_min, sel), omin)
+        return (c + np.int32(1),
+                (ocnt, oshi, oslo, omin, omax, okey, olocal + nloc))
+
+    carry0 = (smem[1], smem[2], smem[3], smem[4], smem[5], smem[6],
+              jnp.int32(0))
+    # while_loop with an explicit int32 counter: under x64 a fori_loop's
+    # internal induction variable is int64, which Mosaic cannot lower
+    _, (ocnt, oshi, oslo, omin, omax, okey, olocal) = jax.lax.while_loop(
+        lambda st: st[0] < np.int32(CPS), chunk, (jnp.int32(0), carry0))
+
+    smem[1] = ocnt
+    smem[2] = oshi
+    smem[3] = oslo
+    smem[4] = omin
+    smem[5] = omax
+    smem[6] = okey
+    smem[0] = win_base + olocal
+    # keep the step's last row at slot 0 for the next step
+    keys_s[pl.ds(0, 1)] = keys_s[pl.ds(SB, 1)]
+    vals_s[pl.ds(0, 1)] = vals_s[pl.ds(SB, 1)]
+
+    @pl.when(i == last)
+    def _():
+        # final open group (always exists: padding sentinel group at least)
+        stage[0, pl.ds(olocal, 1)] = okey.reshape(1)
+        stage[1, pl.ds(olocal, 1)] = ocnt.reshape(1)
+        stage[2, pl.ds(olocal, 1)] = oshi.reshape(1)
+        stage[3, pl.ds(olocal, 1)] = oslo.reshape(1)
+        stage[4, pl.ds(olocal, 1)] = omin.reshape(1)
+        stage[5, pl.ds(olocal, 1)] = omax.reshape(1)
+        ng_out[0] = win_base + olocal
+
+    do_write = ((olocal > 0) | (i == last)) & (win_base + SBW <= out_cap)
+
+    @pl.when(do_write)
+    def _():
+        outs = (key_out, cnt_out, shi_out, slo_out, mn_out, mx_out)
+        for lane, out in enumerate(outs):
+            dma = pltpu.make_async_copy(
+                stage.at[lane, pl.ds(0, SBW)],
+                out.at[pl.ds(win_base, SBW)],
+                sems.at[lane],
+            )
+            dma.start()
+        for lane, out in enumerate(outs):
+            pltpu.make_async_copy(
+                stage.at[lane, pl.ds(0, SBW)],
+                out.at[pl.ds(win_base, SBW)],
+                sems.at[lane],
+            ).wait()
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def seg_agg_sorted_i32(keys_sorted: jnp.ndarray, vals_sorted: jnp.ndarray,
+                       max_groups: int, interpret: bool = False):
+    """Dense group outputs from co-sorted (key, value) int32 lanes.
+
+    ``keys_sorted`` must already be sorted ascending with padding rows masked
+    to INT32_MAX (they form one trailing sentinel group); ``vals_sorted`` must
+    be the matching second sort lane (ride-the-sort: ascending within group).
+
+    Returns (key, cnt_i32, sum_i64, min_i32, max_i32, n_groups_i32) where the
+    dense arrays have ``max_groups + SBW`` capacity; entries >= n_groups are
+    garbage.  n_groups INCLUDES the sentinel group when padding was present.
+    Capacity overflow (n_groups > capacity headroom): trailing groups are
+    dropped but n_groups is still exact, so the caller's overflow/regrow
+    protocol works unchanged.
+    """
+    n = keys_sorted.shape[0]
+    assert n % SB == 0, n
+    grid = n // SB
+    cap = max_groups + SBW + 128
+
+    kernel = pl.pallas_call(
+        _seg_agg_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((SB,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SB,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap,), jnp.int32),  # key at run start
+            jax.ShapeDtypeStruct((cap,), jnp.int32),  # count
+            jax.ShapeDtypeStruct((cap,), jnp.int32),  # sum hi32
+            jax.ShapeDtypeStruct((cap,), jnp.int32),  # sum lo32
+            jax.ShapeDtypeStruct((cap,), jnp.int32),  # min
+            jax.ShapeDtypeStruct((cap,), jnp.int32),  # max
+            jax.ShapeDtypeStruct((1,), jnp.int32),    # n_groups
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SB + 128,), jnp.int32),       # staged keys (+1 shift)
+            pltpu.VMEM((SB + 128,), jnp.int32),       # staged vals
+            pltpu.VMEM((6, SBW), jnp.int32),          # output staging windows
+            pltpu.SMEM((8,), jnp.int32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        interpret=interpret,
+    )
+    key_g, cnt_g, shi_g, slo_g, mn_g, mx_g, ng = kernel(
+        keys_sorted, vals_sorted)
+    # drop the dummy lead slot (gid -1); assemble exact int64 sums
+    key_g, cnt_g = key_g[1:], cnt_g[1:]
+    sum64 = (shi_g[1:].astype(jnp.int64) << 32) | (
+        slo_g[1:].astype(jnp.int64) & 0xFFFFFFFF)
+    return key_g, cnt_g, sum64, mn_g[1:], mx_g[1:], ng[0]

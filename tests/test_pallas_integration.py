@@ -1,0 +1,96 @@
+"""Pallas kernels wired into the SQL execution path (VERDICT round-1 item 4:
+kernels must be provably reached from SQL, not bench-only artifacts).
+
+The seg_agg trace counter is the oracle that the fused post-sort aggregation
+kernel actually traced into the compiled program — a silent XLA fallback makes
+these tests red.  Runs in interpret mode on the CPU device path.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from conftest import make_engine
+
+from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
+
+
+def _bumped(counter: str):
+    class Ctx:
+        def __enter__(self):
+            self.before = GLOBAL_METRICS.counters.get(counter, 0)
+            return self
+
+        def __exit__(self, *exc):
+            self.after = GLOBAL_METRICS.counters.get(counter, 0)
+            return False
+
+        @property
+        def hits(self):
+            return self.after - self.before
+
+    return Ctx()
+
+
+@pytest.fixture(scope="module")
+def engines():
+    # bucket 32768+: table is padded to a superblock multiple
+    rng = np.random.default_rng(7)
+    n = 40_000
+    data = {
+        "k": rng.integers(0, 500, n).astype(np.int64),
+        "v": rng.integers(0, 100_000, n).astype(np.int64),
+    }
+    dev = make_engine("device")
+    dev.register("t", data)
+    cpu = make_engine("cpu")
+    cpu.catalog = dev.catalog
+    return dev, cpu
+
+
+def _parity(dev, cpu, sql, counter_hits_expected=True):
+    with _bumped("pallas_seg_agg_trace") as c:
+        got = dev.query(sql)
+    assert got.metrics["backend"] == "device"
+    if counter_hits_expected:
+        assert c.hits >= 1, f"seg_agg kernel not traced for: {sql}"
+    exp = cpu.query(sql)
+    gdf = got.to_pandas().sort_values(got.to_pandas().columns.tolist()).reset_index(drop=True)
+    edf = exp.to_pandas().sort_values(exp.to_pandas().columns.tolist()).reset_index(drop=True)
+    pd.testing.assert_frame_equal(gdf, edf, check_dtype=False, rtol=1e-12)
+
+
+def test_seg_agg_ride_shape(engines):
+    dev, cpu = engines
+    _parity(dev, cpu,
+            "SELECT k, COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn, "
+            "MAX(v) AS mx, AVG(v) AS a FROM t GROUP BY k")
+
+
+def test_seg_agg_sum_only_payload_shape(engines):
+    dev, cpu = engines
+    _parity(dev, cpu, "SELECT k, SUM(v) AS s FROM t GROUP BY k")
+
+
+def test_seg_agg_count_only(engines):
+    dev, cpu = engines
+    _parity(dev, cpu, "SELECT k, COUNT(*) AS n FROM t GROUP BY k")
+
+
+def test_seg_agg_distinct(engines):
+    dev, cpu = engines
+    _parity(dev, cpu, "SELECT DISTINCT k FROM t")
+
+
+def test_use_pallas_false_still_correct(engines):
+    _, cpu = engines
+    dev2 = make_engine("device", use_pallas=False)
+    dev2.catalog = cpu.catalog
+    sql = "SELECT k, SUM(v) AS s, MIN(v) AS mn FROM t GROUP BY k"
+    with _bumped("pallas_seg_agg_trace") as c:
+        got = dev2.query(sql)
+    assert c.hits == 0
+    exp = cpu.query(sql)
+    gdf = got.to_pandas().sort_values(["k"]).reset_index(drop=True)
+    edf = exp.to_pandas().sort_values(["k"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(gdf, edf, check_dtype=False)
