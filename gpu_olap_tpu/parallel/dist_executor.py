@@ -160,6 +160,11 @@ class DistributedExecutor:
 
     # ------------------------------------------------------------------
     def _run_groupby_pipeline(self, dp: _DistPlan) -> ColumnBatch:
+        """Two-phase distributed GROUP BY (combiner pattern): local
+        pre-aggregation first, then a shuffle of *partial group rows* only,
+        then the merge aggregation.  Shuffle traffic is O(groups) instead of
+        O(rows), and group-key skew disappears: a hot key is exactly one
+        partial row per source device regardless of its row count."""
         sp = dp.single
         agg = dp.aggregate
         if not agg.group_exprs:
@@ -168,8 +173,6 @@ class DistributedExecutor:
         interp = self._interp_cls(self.config, {}, {}, {"flag_names": [],
                                                         "capacities": {}})
         ndev = self.ndev
-        capacity = max(per_dev * 2, 128)
-        max_groups = min(self.config.max_groups, per_dev * ndev, 1 << 20)
 
         from ..executor.device import DevBatch, DevCol, _np_kind
 
@@ -179,74 +182,32 @@ class DistributedExecutor:
             tuple((Pspec(AXIS), Pspec(AXIS)) for _ in agg.group_exprs),
             tuple((Pspec(AXIS), Pspec(AXIS)) for _ in agg.aggs),
             Pspec(AXIS),
+            Pspec(),
         )
 
-        @functools.partial(shard_map, mesh=self.mesh, in_specs=in_specs,
-                           out_specs=out_specs, check_vma=False)
-        def program(rowmask_l, *flat_arrays):
-            cols = []
-            for i in range(n_cols):
-                d = flat_arrays[2 * i]
-                v = flat_arrays[2 * i + 1]
-                v = None if v.shape[0] == 0 else v
-                cols.append(DevCol(d, v, None))
-            batch = DevBatch(sp.scan.schema, cols, rowmask_l.shape[0], rowmask_l)
-            batch = _apply_middle(interp, sp.middle, batch)
-            # evaluate keys and agg args locally, shuffle by first key hash
-            key_pairs = []
-            for g in agg.group_exprs:
-                d, v, _ = interp.eval_expr(g, batch)
-                key_pairs.append(key_code(d, v, _np_kind(g.dtype)))
-            payload = []
-            payload_valid = []
-            for a in agg.aggs:
-                if a.arg is None:
-                    continue
-                d, v, _ = interp.eval_expr(a.arg, batch)
-                payload.append(d)
-                payload_valid.append(v)
-            # ship: key codes + null flags + payloads + payload validities
-            ship = []
-            for code, null in key_pairs:
-                ship += [code, null]
-            for d, v in zip(payload, payload_valid):
-                ship.append(d)
-                ship.append(v if v is not None else jnp.ones(d.shape[0], bool))
-            part_key = _partition_key(key_pairs[0])
-            rk, shipped, rvalid, _ = shuffle_rows_local(
-                part_key, ship, batch.row_valid, ndev, capacity
-            )
-            # rebuild keys/payloads post-shuffle
-            it = iter(shipped)
-            keys2 = []
-            for _g in agg.group_exprs:
-                code = next(it)
-                null = next(it)
-                keys2.append((code, null.astype(bool)))
-            specs = []
-            pi = 0
-            for a in agg.aggs:
-                if a.arg is None:
-                    specs.append({"func": a.func, "values": None, "valid": None,
-                                  "distinct": False,
-                                  "acc_dtype": a.out_dtype.numpy_dtype})
-                    continue
-                vals = next(it)
-                valid = next(it).astype(bool)
-                specs.append({"func": a.func, "values": vals, "valid": valid,
-                              "distinct": False,
-                              "acc_dtype": a.out_dtype.numpy_dtype})
-            group_codes, results, n_groups, _of = agg_ops.groupby_aggregate(
-                keys2, rvalid, specs, max_groups, n_rows=rk.shape[0]
-            )
-            gvalid = jnp.arange(max_groups) < n_groups
-            return (
-                tuple((c, n) for c, n in group_codes),
-                tuple((r[0],
-                       r[1] if r[1] is not None else jnp.ones(max_groups, bool))
-                      for r in results),
-                gvalid,
-            )
+        def make_program(max_groups, part_cap):
+            @functools.partial(shard_map, mesh=self.mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False)
+            def program(rowmask_l, *flat_arrays):
+                cols = []
+                for i in range(n_cols):
+                    d = flat_arrays[2 * i]
+                    v = flat_arrays[2 * i + 1]
+                    v = None if v.shape[0] == 0 else v
+                    cols.append(DevCol(d, v, None))
+                batch = DevBatch(sp.scan.schema, cols, rowmask_l.shape[0],
+                                 rowmask_l)
+                batch = _apply_middle(interp, sp.middle, batch)
+                key_pairs = []
+                for g in agg.group_exprs:
+                    d, v, _ = interp.eval_expr(g, batch)
+                    key_pairs.append(key_code(d, v, _np_kind(g.dtype)))
+                gkeys, gres, gvalid, overflow = _combine_shuffle_merge(
+                    interp, agg, key_pairs, batch, batch.row_valid,
+                    ndev, max_groups, part_cap)
+                return gkeys, gres, gvalid, overflow.reshape(1)
+
+            return jax.jit(program)
 
         flat = []
         for d, v in arrays:
@@ -254,8 +215,19 @@ class DistributedExecutor:
             flat.append(v if v is not None else
                         jax.device_put(np.zeros(0, dtype=bool),
                                        row_sharding(self.mesh)))
-        gkeys, gresults, gvalid = jax.jit(program)(rowmask, *flat)
-        return _gather_groups(agg, gkeys, gresults, gvalid)
+
+        max_groups = min(self.config.max_groups, per_dev * ndev, 1 << 20)
+        part_cap = max(max_groups // max(ndev, 1) * 2, 1024)
+        for attempt in range(4):
+            gkeys, gresults, gvalid, overflow = make_program(
+                max_groups, part_cap)(rowmask, *flat)
+            if not int(np.asarray(overflow)[0]):
+                return _gather_groups(agg, gkeys, gresults, gvalid)
+            part_cap *= 4
+            max_groups = min(max_groups * 4, 1 << 22)
+            logger.warning("distributed groupby overflow; retrying with "
+                           "max_groups=%d part_cap=%d", max_groups, part_cap)
+        raise NotDistributable("distributed groupby kept overflowing")
 
     # ------------------------------------------------------------------
     def _run_global_pipeline(self, dp: _DistPlan) -> ColumnBatch:
@@ -342,26 +314,59 @@ class DistributedExecutor:
         return ColumnBatch(agg.schema, cols, 1)
 
     # ------------------------------------------------------------------
+    def _detect_join_skew(self, dp: _DistPlan, l_per_dev: int) -> np.ndarray:
+        """Host-side heavy-hitter detection on the probe-side join key
+        (BASELINE config 5, Zipfian keys).  Returns heavy key codes
+        (np.int64, possibly empty).  Only plain integer column keys under
+        filter-only middles are sampled — other shapes skip skew handling
+        (broadcasting extra keys is an optimization, never a correctness
+        requirement)."""
+        from .skew import detect_heavy_keys
+
+        key = dp.join.left_keys[0]
+        if not isinstance(key, P.ColumnRef):
+            return np.zeros(0, np.int64)
+        if any(not isinstance(m, P.TpuFilter) for m in dp.left.middle):
+            return np.zeros(0, np.int64)
+        host = self.catalog.get_table_data(dp.left.scan.table_name).to_numpy()
+        cat_idx = (key.index if dp.left.scan.projection is None
+                   else dp.left.scan.projection[key.index])
+        col = np.asarray(host.columns[cat_idx].data)
+        if col.dtype.kind not in "iu":
+            return np.zeros(0, np.int64)
+        stride = max(1, col.shape[0] // 1_000_000)
+        sample = col[::stride]
+        # heavy = a key whose full-table probe mass exceeds half a device's
+        # uniform share (it would pile onto one device's shuffle bucket)
+        rate = sample.shape[0] / max(col.shape[0], 1)
+        thresh = max(1, int(max(256, l_per_dev // 2) * rate))
+        heavy = detect_heavy_keys(sample, row_threshold=thresh)
+        if heavy.size:
+            logger.info("join skew: %d heavy probe keys detected", heavy.size)
+        return heavy
+
     def _run_join_pipeline(self, dp: _DistPlan) -> ColumnBatch:
         """Distributed join + aggregation: both sides shuffled by join-key
-        hash, local sort-probe join, then a second shuffle by group key and
-        local aggregation (one shard_map program — XLA overlaps the
+        hash (heavy probe keys bypass the shuffle — their build rows are
+        broadcast via all_gather, the reference's broadcast-join escape hatch
+        ``join_kernel.rs:62-77``), local sort-probe join, then the two-phase
+        combiner aggregation (one shard_map program — XLA overlaps the
         all-to-alls with local sort/probe compute)."""
         agg = dp.aggregate
         join = dp.join
+        if not agg.group_exprs:
+            raise NotDistributable("distributed join + global aggregate "
+                                   "(group keys required)")
         l_arrays, l_rowmask, l_per_dev, _ = self._sharded_table(dp.left.scan)
         r_arrays, r_rowmask, r_per_dev, _ = self._sharded_table(dp.right.scan)
         interp = self._interp_cls(self.config, {}, {}, {"flag_names": [],
                                                         "capacities": {}})
         ndev = self.ndev
-        shuffle_cap = max(max(l_per_dev, r_per_dev) * 2, 128)
-        join_cap = max(int((l_per_dev + r_per_dev) * self.config.join_expansion),
-                       256)
-        regroup_cap = max(join_cap * 2, 256)
-        max_groups = min(self.config.max_groups, 1 << 20)
+        heavy_keys = self._detect_join_skew(dp, l_per_dev)
 
         from ..executor.device import DevBatch, DevCol, _np_kind
         from ..ops import join as join_ops
+        from .skew import split_by_heavy
 
         n_lcols = len(l_arrays)
         n_rcols = len(r_arrays)
@@ -373,120 +378,114 @@ class DistributedExecutor:
             Pspec(),
         )
 
-        @functools.partial(shard_map, mesh=self.mesh, in_specs=in_specs,
-                           out_specs=out_specs, check_vma=False)
-        def program(lmask, rmask, *flat):
-            def build_side(mask, flat_arrays, n_cols, scan, middle):
-                cols = []
-                for i in range(n_cols):
-                    d = flat_arrays[2 * i]
-                    v = flat_arrays[2 * i + 1]
-                    v = None if v.shape[0] == 0 else v
-                    cols.append(DevCol(d, v, None))
-                b = DevBatch(scan.schema, cols, mask.shape[0], mask)
-                return _apply_middle(interp, middle, b)
+        def make_program(shuffle_cap, join_cap, max_groups, part_cap,
+                         heavy_build_cap):
+            @functools.partial(shard_map, mesh=self.mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False)
+            def program(lmask, rmask, *flat):
+                def build_side(mask, flat_arrays, n_cols, scan, middle):
+                    cols = []
+                    for i in range(n_cols):
+                        d = flat_arrays[2 * i]
+                        v = flat_arrays[2 * i + 1]
+                        v = None if v.shape[0] == 0 else v
+                        cols.append(DevCol(d, v, None))
+                    b = DevBatch(scan.schema, cols, mask.shape[0], mask)
+                    return _apply_middle(interp, middle, b)
 
-            lb = build_side(lmask, flat[: 2 * n_lcols], n_lcols,
-                            dp.left.scan, dp.left.middle)
-            rb = build_side(rmask, flat[2 * n_lcols:], n_rcols,
-                            dp.right.scan, dp.right.middle)
+                lb = build_side(lmask, flat[: 2 * n_lcols], n_lcols,
+                                dp.left.scan, dp.left.middle)
+                rb = build_side(rmask, flat[2 * n_lcols:], n_rcols,
+                                dp.right.scan, dp.right.middle)
 
-            def keyed_shuffle(batch, key_expr):
-                d, v, _ = interp.eval_expr(key_expr, batch)
-                code, null = key_code(d, v, _np_kind(key_expr.dtype))
-                part = _partition_key((code, null))
-                ship = [code, null]
-                for c in batch.cols:
-                    ship.append(c.data)
-                    ship.append(c.validity if c.validity is not None
-                                else jnp.ones(c.data.shape[0], bool))
-                rk, shipped, rvalid, of = shuffle_rows_local(
-                    part, ship, batch.row_valid, ndev, shuffle_cap)
-                it = iter(shipped)
-                code2 = next(it)
-                null2 = next(it).astype(bool)
-                cols2 = []
-                for _c in batch.cols:
-                    d2 = next(it)
-                    v2 = next(it).astype(bool)
-                    cols2.append(DevCol(d2, v2, None))
-                b2 = DevBatch(batch.schema, cols2, rk.shape[0], rvalid)
-                return b2, (code2, null2), of
+                def keyed_shuffle(batch, key_expr, side):
+                    """Light rows hash-shuffle; heavy build rows broadcast;
+                    heavy probe rows stay local (appended after the shuffled
+                    block).  Returns (DevBatch, (code, null), overflow)."""
+                    d, v, _ = interp.eval_expr(key_expr, batch)
+                    code, null = key_code(d, v, _np_kind(key_expr.dtype))
+                    rvalid = (batch.row_valid if batch.row_valid is not None
+                              else jnp.ones(code.shape[0], bool))
+                    lanes = [code, null]
+                    for c in batch.cols:
+                        lanes.append(c.data)
+                        lanes.append(c.validity if c.validity is not None
+                                     else jnp.ones(c.data.shape[0], bool))
+                    if heavy_keys.size:
+                        heavy = split_by_heavy(code, heavy_keys) \
+                            & (null == 0) & rvalid
+                        light_valid = rvalid & ~heavy
+                    else:
+                        heavy = None
+                        light_valid = rvalid
+                    part = _partition_key((code, null))
+                    rk, shipped, svalid, of = shuffle_rows_local(
+                        part, lanes, light_valid, ndev, shuffle_cap)
+                    of = of.astype(jnp.int32)
+                    if heavy is not None and side == "build":
+                        # compact heavy build rows, replicate everywhere
+                        from ..ops.filter import compaction_indices
 
-            lb2, lkey, of1 = keyed_shuffle(lb, join.left_keys[0])
-            rb2, rkey, of2 = keyed_shuffle(rb, join.right_keys[0])
+                        gidx, hcount = compaction_indices(heavy)
+                        slots = jnp.arange(heavy_build_cap)
+                        src = gidx[jnp.clip(slots, 0, gidx.shape[0] - 1)]
+                        hvalid = slots < jnp.minimum(
+                            hcount, jnp.asarray(gidx.shape[0]))
+                        of = of | (hcount > heavy_build_cap).astype(jnp.int32)
+                        extra = [
+                            jax.lax.all_gather(lane[src], AXIS).reshape(-1)
+                            for lane in lanes
+                        ]
+                        evalid = jax.lax.all_gather(hvalid, AXIS).reshape(-1)
+                        shipped = [jnp.concatenate([s, e])
+                                   for s, e in zip(shipped, extra)]
+                        svalid = jnp.concatenate([svalid, evalid])
+                    elif heavy is not None:
+                        # heavy probe rows join locally against the broadcast
+                        shipped = [jnp.concatenate([s, lane])
+                                   for s, lane in zip(shipped, lanes)]
+                        svalid = jnp.concatenate([svalid, heavy])
+                    it = iter(shipped)
+                    code2 = next(it)
+                    null2 = next(it).astype(bool)
+                    cols2 = []
+                    for _c in batch.cols:
+                        d2 = next(it)
+                        v2 = next(it).astype(bool)
+                        cols2.append(DevCol(d2, v2, None))
+                    b2 = DevBatch(batch.schema, cols2, code2.shape[0], svalid)
+                    return b2, (code2, null2), of
 
-            li, ri, out_valid, total, of3, _cnt = join_ops.inner_join(
-                [lkey], lb2.row_valid, [rkey], rb2.row_valid, join_cap)
-            from ..executor.device import _gather_col
+                lb2, lkey, of1 = keyed_shuffle(lb, join.left_keys[0], "probe")
+                rb2, rkey, of2 = keyed_shuffle(rb, join.right_keys[0], "build")
 
-            jcols = [
-                _gather_col(c, li, out_valid) for c in lb2.cols
-            ] + [
-                _gather_col(c, ri, out_valid) for c in rb2.cols
-            ]
-            jb = DevBatch(join.schema, jcols, join_cap, out_valid)
-            jb = _apply_middle(interp, dp.agg_middle, jb)
+                li, ri, out_valid, total, of3, _cnt = join_ops.inner_join(
+                    [lkey], lb2.row_valid, [rkey], rb2.row_valid, join_cap)
+                from ..executor.device import _gather_col
 
-            overflow = (of1 | of2 | of3.astype(jnp.int32)).astype(jnp.int32)
-            overflow = jax.lax.pmax(overflow, AXIS)
+                jcols = [
+                    _gather_col(c, li, out_valid) for c in lb2.cols
+                ] + [
+                    _gather_col(c, ri, out_valid) for c in rb2.cols
+                ]
+                jb = DevBatch(join.schema, jcols, join_cap, out_valid)
+                jb = _apply_middle(interp, dp.agg_middle, jb)
 
-            # second shuffle by the first group key, then local aggregation
-            key_pairs = []
-            for g in agg.group_exprs:
-                d, v, _ = interp.eval_expr(g, jb)
-                key_pairs.append(key_code(d, v, _np_kind(g.dtype)))
-            payload = []
-            payload_valid = []
-            for a in agg.aggs:
-                if a.arg is None:
-                    continue
-                d, v, _ = interp.eval_expr(a.arg, jb)
-                payload.append(d)
-                payload_valid.append(v)
-            ship = []
-            for code, null in key_pairs:
-                ship += [code, null]
-            for d, v in zip(payload, payload_valid):
-                ship.append(d)
-                ship.append(v if v is not None else jnp.ones(d.shape[0], bool))
-            part2 = _partition_key(key_pairs[0])
-            rk2, shipped2, rvalid2, of4 = shuffle_rows_local(
-                part2, ship, jb.row_valid, ndev, regroup_cap)
-            overflow = jnp.maximum(overflow, jax.lax.pmax(of4.astype(jnp.int32), AXIS))
-            it = iter(shipped2)
-            keys2 = []
-            for _g in agg.group_exprs:
-                c2 = next(it)
-                n2 = next(it).astype(bool)
-                keys2.append((c2, n2))
-            specs = []
-            for a in agg.aggs:
-                if a.arg is None:
-                    specs.append({"func": a.func, "values": None, "valid": None,
-                                  "distinct": False,
-                                  "acc_dtype": a.out_dtype.numpy_dtype})
-                    continue
-                vals = next(it)
-                valid = next(it).astype(bool)
-                specs.append({"func": a.func, "values": vals, "valid": valid,
-                              "distinct": False,
-                              "acc_dtype": a.out_dtype.numpy_dtype})
-            group_codes, results, n_groups, _of = agg_ops.groupby_aggregate(
-                keys2, rvalid2, specs, max_groups, n_rows=rk2.shape[0])
-            gvalid = jnp.arange(max_groups) < n_groups
-            return (
-                tuple((c, n) for c, n in group_codes),
-                tuple((r[0],
-                       r[1] if r[1] is not None else jnp.ones(max_groups, bool))
-                      for r in results),
-                gvalid,
-                overflow.reshape(1),
-            )
+                overflow = jax.lax.pmax(
+                    of1 | of2 | of3.astype(jnp.int32), AXIS)
 
-        if not agg.group_exprs:
-            raise NotDistributable("distributed join + global aggregate "
-                                   "(group keys required)")
+                # two-phase combiner aggregation over the join output
+                key_pairs = []
+                for g in agg.group_exprs:
+                    d, v, _ = interp.eval_expr(g, jb)
+                    key_pairs.append(key_code(d, v, _np_kind(g.dtype)))
+                gkeys, gres, gvalid, agg_of = _combine_shuffle_merge(
+                    interp, agg, key_pairs, jb, jb.row_valid,
+                    ndev, max_groups, part_cap)
+                overflow = jnp.maximum(overflow, agg_of)
+                return gkeys, gres, gvalid, overflow.reshape(1)
+
+            return jax.jit(program)
 
         def flatten(arrays):
             flat = []
@@ -497,13 +496,165 @@ class DistributedExecutor:
                                            row_sharding(self.mesh)))
             return flat
 
-        gkeys, gresults, gvalid, overflow = jax.jit(program)(
-            l_rowmask, r_rowmask, *flatten(l_arrays), *flatten(r_arrays))
-        if int(np.asarray(overflow)[0]):
-            raise NotDistributable(
-                "distributed join capacities overflowed (data skew); "
-                "falling back to single-device execution")
-        return _gather_groups(agg, gkeys, gresults, gvalid)
+        shuffle_cap = max(max(l_per_dev, r_per_dev) * 2, 128)
+        join_cap = max(int((l_per_dev + r_per_dev)
+                           * self.config.join_expansion), 256)
+        max_groups = min(self.config.max_groups, 1 << 20)
+        part_cap = max(max_groups // max(ndev, 1) * 2, 1024)
+        heavy_build_cap = max(1024, 16 * int(heavy_keys.size)) \
+            if heavy_keys.size else 8
+        args = (l_rowmask, r_rowmask, *flatten(l_arrays), *flatten(r_arrays))
+        for attempt in range(4):
+            gkeys, gresults, gvalid, overflow = make_program(
+                shuffle_cap, join_cap, max_groups, part_cap,
+                heavy_build_cap)(*args)
+            if not int(np.asarray(overflow)[0]):
+                return _gather_groups(agg, gkeys, gresults, gvalid)
+            shuffle_cap *= 2
+            join_cap *= 4
+            part_cap *= 4
+            heavy_build_cap *= 4
+            max_groups = min(max_groups * 4, 1 << 22)
+            logger.warning(
+                "distributed join overflow; retrying with shuffle_cap=%d "
+                "join_cap=%d max_groups=%d", shuffle_cap, join_cap, max_groups)
+        raise NotDistributable("distributed join kept overflowing")
+
+
+def _local_partial_specs(interp, agg, batch):
+    """Evaluate aggregate arguments on the local batch and lay out the
+    partial-aggregate columns (combiner phase 1).
+
+    Returns (local_specs, plan); plan entries describe how to merge the
+    shipped partials and finalize each output aggregate:
+      ("count", j)            -- merge: SUM of partial counts, always valid
+      ("sum", j, acc)         -- merge: SUM, valid = any valid partial
+      ("minmax", j, func, acc)-- merge: same func over partials
+      ("avg", js, jc)         -- merge: SUM f64 + SUM count, divide
+    """
+    specs, plan = [], []
+    for a in agg.aggs:
+        acc = a.out_dtype.numpy_dtype
+        if a.arg is None:
+            specs.append({"func": "count", "values": None, "valid": None,
+                          "distinct": False, "acc_dtype": np.int64})
+            plan.append(("count", len(specs) - 1))
+            continue
+        d, v, _ = interp.eval_expr(a.arg, batch)
+        if a.func == "count":
+            specs.append({"func": "count", "values": d, "valid": v,
+                          "distinct": False, "acc_dtype": np.int64})
+            plan.append(("count", len(specs) - 1))
+        elif a.func == "sum":
+            specs.append({"func": "sum", "values": d, "valid": v,
+                          "distinct": False, "acc_dtype": acc})
+            plan.append(("sum", len(specs) - 1, acc))
+        elif a.func in ("min", "max"):
+            specs.append({"func": a.func, "values": d, "valid": v,
+                          "distinct": False, "acc_dtype": acc})
+            plan.append(("minmax", len(specs) - 1, a.func, acc))
+        elif a.func == "avg":
+            specs.append({"func": "sum", "values": d, "valid": v,
+                          "distinct": False, "acc_dtype": np.float64})
+            specs.append({"func": "count", "values": d, "valid": v,
+                          "distinct": False, "acc_dtype": np.int64})
+            plan.append(("avg", len(specs) - 2, len(specs) - 1))
+        else:
+            raise NotDistributable(a.func)
+    return specs, plan
+
+
+def _combine_shuffle_merge(interp, agg, key_pairs, batch, row_valid, ndev,
+                           max_groups, part_cap):
+    """Inside shard_map: local partial aggregation, shuffle of one row per
+    local group (hash of the first group key), merge aggregation.
+
+    Hot group keys cost one partial row per source device — the combiner IS
+    the group-key skew fix.  Returns (group_codes, results, gvalid,
+    overflow_bool) with results validity always materialized."""
+    local_specs, plan = _local_partial_specs(interp, agg, batch)
+    lg_codes, lg_results, lg_n, lg_of = agg_ops.groupby_aggregate(
+        key_pairs, row_valid, local_specs, max_groups, n_rows=batch.capacity)
+    lg_valid = jnp.arange(max_groups) < lg_n
+
+    ship = []
+    for code, null in lg_codes:
+        ship.append(code)
+        ship.append(null if null is not None
+                    else jnp.zeros(max_groups, bool))
+    for data, has in lg_results:
+        ship.append(data)
+        ship.append(has if has is not None else jnp.ones(max_groups, bool))
+    k0_code, k0_null = lg_codes[0]
+    part = _partition_key((k0_code, k0_null if k0_null is not None
+                           else jnp.zeros(max_groups, bool)))
+    rk, shipped, rvalid, sh_of = shuffle_rows_local(
+        part, ship, lg_valid, ndev, part_cap)
+
+    it = iter(shipped)
+    keys2 = []
+    for _g in agg.group_exprs:
+        code = next(it)
+        null = next(it).astype(bool)
+        keys2.append((code, null))
+    partials = []
+    for _r in lg_results:
+        d = next(it)
+        h = next(it).astype(bool)
+        partials.append((d, h))
+
+    merge_specs = []
+    for entry in plan:
+        kind = entry[0]
+        if kind == "count":
+            d, _h = partials[entry[1]]
+            merge_specs.append({"func": "sum", "values": d, "valid": None,
+                                "distinct": False, "acc_dtype": np.int64})
+        elif kind == "sum":
+            d, h = partials[entry[1]]
+            merge_specs.append({"func": "sum", "values": d, "valid": h,
+                                "distinct": False, "acc_dtype": entry[2]})
+        elif kind == "minmax":
+            d, h = partials[entry[1]]
+            merge_specs.append({"func": entry[2], "values": d, "valid": h,
+                                "distinct": False, "acc_dtype": entry[3]})
+        else:  # avg
+            ds, _hs = partials[entry[1]]
+            dc, _hc = partials[entry[2]]
+            merge_specs.append({"func": "sum", "values": ds, "valid": None,
+                                "distinct": False, "acc_dtype": np.float64})
+            merge_specs.append({"func": "sum", "values": dc, "valid": None,
+                                "distinct": False, "acc_dtype": np.int64})
+    mg_codes, mg_results, mg_n, mg_of = agg_ops.groupby_aggregate(
+        keys2, rvalid, merge_specs, max_groups, n_rows=rk.shape[0])
+    gvalid = jnp.arange(max_groups) < mg_n
+
+    results = []
+    mi = 0
+    for entry in plan:
+        kind = entry[0]
+        if kind == "count":
+            results.append((mg_results[mi][0], jnp.ones(max_groups, bool)))
+            mi += 1
+        elif kind in ("sum", "minmax"):
+            data, has = mg_results[mi]
+            results.append((data, has if has is not None
+                            else jnp.ones(max_groups, bool)))
+            mi += 1
+        else:  # avg
+            s = mg_results[mi][0]
+            c = mg_results[mi + 1][0]
+            has = c > 0
+            avg = jnp.where(has, s / jnp.maximum(c, 1).astype(jnp.float64),
+                            0.0)
+            results.append((avg, has))
+            mi += 2
+
+    overflow = jax.lax.pmax(
+        (lg_of | sh_of | mg_of).astype(jnp.int32), AXIS)
+    return (tuple((c, n if n is not None else jnp.zeros(max_groups, bool))
+                  for c, n in mg_codes),
+            tuple(results), gvalid, overflow)
 
 
 def _partition_key(key_pair):
