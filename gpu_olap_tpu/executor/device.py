@@ -129,6 +129,9 @@ class DeviceExecutor:
         self._compiled: Dict[tuple, tuple] = {}
         # per-plan-node capacity overrides after overflow (node path -> rows)
         self._cap_override: Dict[tuple, int] = {}
+        # out-of-core streamer (kept across queries: its staging arena pools
+        # chunk buffers; its compiled steps cache by shape)
+        self._streaming = None
 
     # ------------------------------------------------------------------
     # public entry
@@ -141,9 +144,10 @@ class DeviceExecutor:
             from .streaming import NotStreamable, StreamingAggregator
 
             try:
-                batch = StreamingAggregator(
-                    self.catalog, self.config, _Interpreter
-                ).execute(plan)
+                if self._streaming is None:
+                    self._streaming = StreamingAggregator(
+                        self.catalog, self.config, _Interpreter)
+                batch = self._streaming.execute(plan)
                 self.last_backend = "streaming"
                 return batch
             except NotStreamable as e:
@@ -180,6 +184,13 @@ class DeviceExecutor:
                 logger.warning("device capacity overflow at %s: growing %d -> %d",
                                key, cur, self._cap_override[key])
         raise RuntimeError("join/aggregate capacity kept overflowing after 8 growths")
+
+    def _streaming_arena_stats(self) -> dict:
+        """Staging-arena pool state of the out-of-core streamer (tests
+        assert buffer reuse; empty when no query has streamed)."""
+        if self._streaming is None:
+            return {"allocated_bytes": 0, "classes": {}}
+        return self._streaming.arena.stats()
 
     def _has_uncached_scan(self, plan: P.PhysicalPlan) -> bool:
         found = False
@@ -971,7 +982,8 @@ class _Interpreter:
 
         row_valid = participates
         group_codes, results, n_groups, overflow = agg_ops.groupby_aggregate(
-            keys, row_valid, specs, max_groups, n_rows=left.capacity)
+            keys, row_valid, specs, max_groups, n_rows=left.capacity,
+            allow_pallas=self.config.use_pallas)
         self._push_flag(cap_key, overflow)
 
         cols = []
@@ -1051,6 +1063,7 @@ class _Interpreter:
         group_codes, results, n_groups, overflow = agg_ops.groupby_aggregate(
             keys, batch.row_valid, specs, max_groups, n_rows=batch.capacity,
             prefix_rows=batch.prefix_rows,
+            allow_pallas=self.config.use_pallas,
         )
         if plan.group_exprs:
             self._push_flag(cap_key, overflow)
@@ -1137,6 +1150,7 @@ class _Interpreter:
         group_codes, _, n_groups, overflow = agg_ops.groupby_aggregate(
             keys, batch.row_valid, [], max_groups, n_rows=batch.capacity,
             prefix_rows=batch.prefix_rows,
+            allow_pallas=self.config.use_pallas,
         )
         self._push_flag(cap_key, overflow)
         cols = [

@@ -12,6 +12,7 @@ aggregates (SUM/COUNT/MIN/MAX/AVG as sum+count).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 from typing import List, Optional
 
@@ -19,6 +20,7 @@ import numpy as np
 
 from ..config import EngineConfig
 from ..interop.columnar import Column, ColumnBatch, DType
+from ..mem.arena import BufferArena
 from ..mem.feeder import DeviceFeeder
 from ..ops import aggregate as agg_ops
 from ..ops import filter as filter_ops
@@ -120,6 +122,10 @@ class StreamingAggregator:
         self.catalog = catalog
         self.config = config
         self._interpreter_cls = interpreter_cls
+        # pooled host staging buffers for chunk upload (slab-allocator
+        # analogue, slab_allocator.rs:24-130): bounded byte budget, O(1)
+        # reuse across chunks instead of a fresh allocation per column
+        self.arena = BufferArena(max_bytes=config.max_hbm_bytes)
 
     def execute(self, plan: P.PhysicalPlan) -> ColumnBatch:
         agg_root, has_above = split_above_aggregate(plan)
@@ -173,16 +179,28 @@ class StreamingAggregator:
             pipe.scan.table_name, chunk_rows, columns=cols
         )
 
+        staged = collections.deque()  # arena buffers per in-flight chunk
+
         def host_iter():
             for batch in chunks:
-                yield _pad_batch_arrays(batch, chunk_rows)
+                bufs, padded = _stage_batch_arrays(batch, chunk_rows,
+                                                   self.arena)
+                staged.append(bufs)
+                yield padded
 
         n_chunks = 0
         for dev_chunk in feeder.feed(host_iter()):
             state, step_overflow = step(state, *dev_chunk)
             overflow = overflow | step_overflow
             n_chunks += 1
-        logger.info("streamed %d chunks of %d rows", n_chunks, chunk_rows)
+            # this chunk's H2D transfer is complete once its device arrays
+            # are ready (compute keeps running async behind); its staging
+            # buffers can then be recycled for a later chunk
+            jax.block_until_ready(dev_chunk)
+            for buf in staged.popleft():
+                self.arena.release(buf)
+        logger.info("streamed %d chunks of %d rows (arena: %s)",
+                    n_chunks, chunk_rows, self.arena.stats())
         return state, (bool(np.asarray(overflow)) if n_chunks else False)
 
     # ------------------------------------------------------------------
@@ -439,17 +457,26 @@ def _init_state(group_exprs, partials, max_groups: int):
     return (keys, state_partials, valid)
 
 
-def _pad_batch_arrays(batch: ColumnBatch, chunk_rows: int):
-    """Host batch -> (valid_rows, *padded arrays) ready for device_put."""
+def _stage_batch_arrays(batch: ColumnBatch, chunk_rows: int,
+                        arena: BufferArena):
+    """Host batch -> (arena_buffers, (valid_rows, *staged arrays)).
+
+    Each column is copied into a pooled arena buffer padded to ``chunk_rows``
+    (``device_put`` always copies host numpy data, so the buffer is free for
+    reuse once the transfer completes — the caller releases after
+    ``block_until_ready``)."""
     n = batch.num_rows
     out = [np.int64(n)]
+    bufs = []
     for c in batch.columns:
         a = np.asarray(c.data)
-        if a.shape[0] < chunk_rows:
-            pad = np.zeros(chunk_rows, dtype=a.dtype)
-            pad[:n] = a
-            a = pad
-        elif a.shape[0] > chunk_rows:
+        if a.shape[0] > chunk_rows:
             raise ValueError("chunk larger than batch_size")
-        out.append(a)
-    return tuple(out)
+        buf = arena.acquire(chunk_rows, a.dtype)
+        view = buf[:chunk_rows]
+        view[:n] = a
+        if n < chunk_rows:
+            view[n:] = 0
+        bufs.append(buf)
+        out.append(view)
+    return bufs, tuple(out)

@@ -170,3 +170,21 @@ def test_streamed_post_aggregate_ops(big_parquet):
     exp = exp[exp.s > 1000].sort_values("s", ascending=False).head(10)
     assert got.s.tolist() == exp.s.tolist()
     assert got.k.tolist() == exp.k.tolist()
+
+
+def test_arena_staging_reuse(big_parquet):
+    """Chunk staging goes through the BufferArena: buffers are recycled
+    across chunks (bounded allocation, not one fresh buffer per chunk)."""
+    path, _ = big_parquet
+    eng = _streaming_engine(path)
+    res = eng.query("SELECT k, SUM(v) AS s FROM big GROUP BY k")
+    assert res.meta["backend"] == "streaming"
+    arena = eng._get_device_executor()._streaming_arena_stats()
+    # 50k rows / 8192-row chunks = 7 chunks x 2 columns staged, but the pool
+    # holds only as many buffers as were ever simultaneously in flight
+    assert arena["allocated_bytes"] > 0
+    total_allocated = sum(c["allocated"] for c in arena["classes"].values())
+    assert total_allocated <= 2 * (eng.config.num_feed_buffers + 2)
+    # after the stream completes every buffer is back in the pool
+    for cls in arena["classes"].values():
+        assert cls["free"] == cls["allocated"]
