@@ -69,6 +69,17 @@ class DevCol:
     # provenance (table name, table column index) for unfiltered scan columns:
     # keys a device-resident persistent join index when one exists
     source: Optional[Tuple[str, int]] = None
+    # device-resident pre-narrowed int32 copy (built once at table upload for
+    # int32_ok columns): hot paths read 4 bytes/row with NO in-trace astype
+    # materialization pass (which costs 8B read + 4B write per row per query)
+    narrow: Optional[jnp.ndarray] = None
+
+    def as_int32(self):
+        """int32 view of the column: the upload-time shadow when present,
+        else an in-trace narrowing pass."""
+        if self.narrow is not None:
+            return self.narrow
+        return self.data.astype(jnp.int32)
 
 
 @dataclasses.dataclass
@@ -162,7 +173,8 @@ class DeviceExecutor:
         )
         for attempt in range(8):
             fn, meta = self._get_compiled(plan, tables)
-            arrays = {name: {"cols": t["arrays"], "idx": t["dense_idx"]}
+            arrays = {name: {"cols": t["arrays"], "idx": t["dense_idx"],
+                             "nar": t["narrow"]}
                       for name, t in tables.items()}
             with Timer() as t_exec:
                 out = fn(arrays)
@@ -271,6 +283,18 @@ class DeviceExecutor:
             # the dense key->row table is built host-side ONCE per table
             # version (a trivial numpy scatter) and stays device-resident —
             # lookup joins then skip the in-trace build entirely
+            # int32 shadow copies: for zone-map-proven-narrow int64 columns,
+            # upload a pre-narrowed int32 array alongside the wide one.  Every
+            # query that keys/sorts/aggregates on the column then reads 4 B/row
+            # directly instead of paying an astype materialization (8 B read +
+            # 4 B write + 4 B re-read) inside the trace.
+            narrow = {}
+            for i, (data, _valid) in enumerate(arrays):
+                if int32_ok[i] and data.dtype == jnp.int64:
+                    host_col = np.zeros(cap, dtype=np.int32)
+                    host_col[: host.num_rows] = np.asarray(
+                        host.columns[i].data, dtype=np.int64).astype(np.int32)
+                    narrow[i] = jax.device_put(host_col)
             dense_idx = {}
             for i, (f, col) in enumerate(zip(host.schema, host.columns)):
                 if not uniques[i]:
@@ -293,6 +317,7 @@ class DeviceExecutor:
                 "ranges": ranges,
                 "uniques": uniques,
                 "dense_idx": dense_idx,
+                "narrow": narrow,
             }
             self._table_cache[name] = (ver, entry)
             out[name] = entry
@@ -364,7 +389,8 @@ class DeviceExecutor:
             fn = jax.jit(run)
             # force trace+compile now so meta is filled and errors surface here
             shapes = jax.eval_shape(
-                run, {n: {"cols": t_["arrays"], "idx": t_["dense_idx"]}
+                run, {n: {"cols": t_["arrays"], "idx": t_["dense_idx"],
+                          "nar": t_["narrow"]}
                       for n, t_ in tables.items()})
         logger.info("plan traced in %.1f ms (cache key %d entries)",
                     t.seconds * 1e3, len(self._compiled))
@@ -486,6 +512,7 @@ class _Interpreter:
     def _scan(self, plan: P.TpuTableScan) -> DevBatch:
         tmeta = self.table_meta[plan.table_name]
         arrays = self.tables_arrays[plan.table_name]["cols"]
+        narrow = self.tables_arrays[plan.table_name].get("nar") or {}
         indices = plan.projection if plan.projection is not None else range(len(arrays))
         cols = []
         flags = tmeta.get("int32_ok")
@@ -497,7 +524,8 @@ class _Interpreter:
                                bool(flags[i]) if flags else False,
                                ranges[i] if ranges else None,
                                bool(uniques[i]) if uniques else False,
-                               (plan.table_name, i)))
+                               (plan.table_name, i),
+                               narrow.get(i)))
         cap = tmeta["capacity"]
         n = tmeta["num_rows"]
         row_valid = None
@@ -523,7 +551,8 @@ class _Interpreter:
                                src.int32_ok if src else False,
                                src.value_range if src else None,
                                src.unique if src else False,
-                               src.source if src else None))
+                               src.source if src else None,
+                               src.narrow if src and data is src.data else None))
         return DevBatch(plan.schema, cols, batch.capacity, batch.row_valid,
                         batch.prefix_rows)
 
@@ -675,7 +704,7 @@ class _Interpreter:
             # int32 dense value tables where zone maps allow: the probe-side
             # random gather runs 2.6x faster on int32 than emulated int64
             if c.int32_ok and src.dtype == jnp.int64:
-                src = src.astype(jnp.int32)
+                src = c.as_int32()
             dv = src[safe_dense]
             dvalid = None if c.validity is None else (
                 c.validity[safe_dense] & slot_ok)
@@ -718,11 +747,21 @@ class _Interpreter:
         data, valid, dictionary = self.eval_expr(expr, batch)
         code, null = key_code(data, valid, _np_kind(expr.dtype))
         if self._int32_ok(expr, batch) and code.dtype == jnp.int64:
-            code = code.astype(jnp.int32)  # narrow fast path (stats-backed)
+            code = self._narrow32(expr, batch, data)  # stats-backed fast path
         vrange = (batch.cols[expr.index].value_range
                   if isinstance(expr, P.ColumnRef) else None)
         return {"code": code, "null": null, "dict": dictionary,
                 "dtype": expr.dtype, "range": vrange}
+
+    def _narrow32(self, expr: P.PhysExpr, batch: DevBatch, wide):
+        """int32 operand for a zone-map-narrowable int64 expression: the
+        table's upload-time shadow when the expression is a bare scan column
+        (saves the astype materialization pass), else an in-trace astype."""
+        if isinstance(expr, P.ColumnRef):
+            c = batch.cols[expr.index]
+            if c.narrow is not None and wide is c.data:
+                return c.narrow
+        return wide.astype(jnp.int32)
 
     def _int32_ok(self, expr: P.PhysExpr, batch: DevBatch) -> bool:
         if (isinstance(expr, P.ColumnRef)
@@ -929,7 +968,7 @@ class _Interpreter:
             if valid is None and _np_kind(g.dtype) != "f":
                 null = None
             if self._int32_ok(g, left) and code.dtype == jnp.int64:
-                code = code.astype(jnp.int32)
+                code = self._narrow32(g, left, data)
             keys.append((code, null))
             key_meta.append((g.dtype, dictionary))
 
@@ -1017,7 +1056,7 @@ class _Interpreter:
             if valid is None and _np_kind(g.dtype) != "f":
                 null = None  # statically null-free: drops a sort operand
             if self._int32_ok(g, batch) and code.dtype == jnp.int64:
-                code = code.astype(jnp.int32)  # zone-map narrow fast path
+                code = self._narrow32(g, batch, data)  # zone-map narrow path
             keys.append((code, null))
             key_meta.append((g.dtype, dictionary))
 
@@ -1086,7 +1125,7 @@ class _Interpreter:
         for k in keys:
             data, valid, dictionary = self.eval_expr(k.expr, batch)
             if self._int32_ok(k.expr, batch) and data.dtype == jnp.int64:
-                data = data.astype(jnp.int32)
+                data = self._narrow32(k.expr, batch, data)
             codes = order_code(data, _np_kind(k.expr.dtype))
             nulls = None if valid is None else ~valid
             out.append({"codes": codes, "nulls": nulls,
@@ -1102,7 +1141,7 @@ class _Interpreter:
         for c in batch.cols:
             src = c.data
             if c.int32_ok and src.dtype == jnp.int64:
-                src = src.astype(jnp.int32)  # 2.6x faster permutation gather
+                src = c.as_int32()  # 2.6x faster permutation gather
             cols.append(DevCol(
                 src[perm],
                 None if c.validity is None else c.validity[perm],
@@ -1141,7 +1180,7 @@ class _Interpreter:
             if c.validity is None and _np_kind(f.dtype) != "f":
                 null = None  # statically null-free: drops a sort operand
             if c.int32_ok and f.dtype is not DType.FLOAT64 and code.dtype == jnp.int64:
-                code = code.astype(jnp.int32)
+                code = c.as_int32()
             keys.append((code, null))
             key_meta.append((f.dtype, c.dictionary))
         cap_key = ("distinct", path)
@@ -1242,7 +1281,8 @@ class _Interpreter:
                 # interval-proven int32 arithmetic (int64 is emulated on
                 # TPU).  Exact even when an operand exceeds int32: two's
                 # complement is modular, and the RESULT provably fits.
-                a32, b32 = ld.astype(jnp.int32), rd.astype(jnp.int32)
+                a32 = self._narrow32(e.left, batch, ld)
+                b32 = self._narrow32(e.right, batch, rd)
                 if e.op == "+":
                     return a32 + b32, valid, None
                 if e.op == "-":
@@ -1414,9 +1454,9 @@ def _gather_col(c: DevCol, idx, out_valid) -> DevCol:
     # int32 gathers run 2.6x faster than emulated int64; the narrowing
     # conversion pass over the source pays for itself almost always
     narrowed = (c.int32_ok and src.dtype == jnp.int64
-                and idx.shape[0] * 256 >= nb)
+                and (c.narrow is not None or idx.shape[0] * 256 >= nb))
     if narrowed:
-        src = src.astype(jnp.int32)
+        src = c.as_int32()
     data = src[safe]
     if c.validity is None:
         valid = ~pad

@@ -1,127 +1,169 @@
-"""Pallas TPU kernel: fused filter + partial aggregation.
+"""Pallas TPU kernel: fused filter + global aggregation.
 
 The reference JITs a per-predicate CUDA filter kernel that writes a bitmask
-(``codegen.rs:36-47``) followed by separate aggregation kernels.  This Pallas
-kernel fuses the whole ``WHERE v > c -> COUNT/SUM`` pipeline into one pass
-over HBM: the grid walks row blocks, Pallas double-buffers the HBM->VMEM
-block loads automatically, and the VPU computes the mask and per-block
-partial sums in registers.  One final (tiny) reduction over per-block
-partials happens in XLA.
+(``codegen.rs:36-47``) followed by separate aggregation kernels
+(``filter_kernel.rs:1-5``, ``aggregate_kernel.rs``).  This Pallas kernel fuses
+the whole ``WHERE <col> <cmp> <lit> -> COUNT/SUM/MIN/MAX/AVG`` pipeline into
+ONE pass over HBM: the grid walks row blocks, Pallas double-buffers the
+HBM->VMEM block loads automatically, and the VPU computes the mask and
+per-block partial reductions in registers.  The TPU grid is sequential, so
+partials accumulate directly into SMEM output scalars — no partial arrays,
+no second XLA reduction over them.
 
-Single pass, 8 bytes read per row, no intermediate mask materialization:
-this is the speed-of-light shape for BASELINE config 1.
+Single pass, 4 bytes read per row per column, no intermediate mask
+materialization: the speed-of-light shape for BASELINE config 1.
+
+Exactness: block SUM partials are computed on three 12-bit fields of each
+int32 value (lo/mid unsigned, hi sign-carrying) — each field's 64K-row block
+sum fits int32 — and folded into an emulated (hi, lo) int32 pair with
+wrap-around carry detection.  No 64-bit ops run on the VPU (Mosaic has no
+64-bit support); the exact int64 is reassembled outside the kernel.
 """
 
 from __future__ import annotations
+
+import functools
 
 from ...utils.jaxenv import ensure_jax
 
 jax = ensure_jax()
 import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+from .seg_agg import _add64, _split64  # emulated-64-bit scalar helpers
 
 # rows per grid step; (BLOCK // 128) x 128 vector tiles of int32
 _BLOCK = 64 * 1024
 
+_I32_MAX = np.int32(np.iinfo(np.int32).max)
+_I32_MIN = np.int32(np.iinfo(np.int32).min)
 
-def _kernel(thresh_ref, v_ref, nvalid_ref, count_ref, sum_ref):
-    """One row block: mask = v > thresh (and row in valid prefix);
-    emit partial count and sum for this block."""
+#: comparison op -> vector predicate (static at trace time)
+_CMP = {
+    "gt": lambda v, t: v > t,
+    "ge": lambda v, t: v >= t,
+    "lt": lambda v, t: v < t,
+    "le": lambda v, t: v <= t,
+    "eq": lambda v, t: v == t,
+    "ne": lambda v, t: v != t,
+}
+
+
+def _sum_i32(vec):
+    """Scalar int32 sum.  Reduce a (1, n) view over axis 1 so the output aval
+    is non-scalar: Mosaic's scalar-reduce lowering re-enters ``jnp.sum``
+    WITHOUT a dtype override, and under x64 that promotes int32 -> int64,
+    which Mosaic cannot lower."""
+    n = vec.shape[0]
+    return jnp.sum(vec.reshape(1, n), axis=1, dtype=jnp.int32)[0]
+
+
+def _pad_to_block(a):
+    n = a.shape[0]
+    n_pad = -(-n // _BLOCK) * _BLOCK
+    if n_pad != n:
+        a = jnp.concatenate([a, jnp.zeros(n_pad - n, dtype=a.dtype)])
+    return a, n_pad
+
+
+def _filter_agg_kernel(op: str, n_cols: int, thresh_ref, nvalid_ref,
+                       filt_ref, *rest):
+    """One row block: mask from the predicate, then fold per-block partials
+    into the SMEM accumulators — COUNT plus, per value column, an emulated
+    int64 SUM and MIN/MAX."""
+    col_refs = rest[:n_cols]
+    outs = rest[n_cols:]
+    cnt_ref = outs[0]
     i = pl.program_id(0)
-    base = i * _BLOCK
-    v = v_ref[:]
-    # rows beyond the table's true length are padding
-    idx = base + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-    in_prefix = idx < nvalid_ref[0]
-    mask = (v > thresh_ref[0]) & in_prefix
-    count_ref[0] = jnp.sum(mask.astype(jnp.int32))
-    sum_ref[0] = jnp.sum(jnp.where(mask, v, 0).astype(jnp.float32))
+
+    @pl.when(i == 0)
+    def _():
+        cnt_ref[0] = 0
+        for k in range(n_cols):
+            shi, slo, mn, mx = outs[1 + 4 * k: 5 + 4 * k]
+            shi[0] = 0
+            slo[0] = 0
+            mn[0] = _I32_MAX
+            mx[0] = _I32_MIN
+
+    f = filt_ref[:]
+    idx = i * _BLOCK + jax.lax.broadcasted_iota(jnp.int32, f.shape, 0)
+    mask = _CMP[op](f, thresh_ref[0]) & (idx < nvalid_ref[0])
+    cnt_ref[0] = cnt_ref[0] + _sum_i32(mask.astype(jnp.int32))
+    for k in range(n_cols):
+        v = col_refs[k][:]
+        mv = jnp.where(mask, v, np.int32(0))
+        shi, slo, mn, mx = outs[1 + 4 * k: 5 + 4 * k]
+        # signed 12-bit decomposition: v == lo + (mid << 12) + (hi << 24)
+        # with lo/mid unsigned and hi arithmetic-shifted (sign-carrying);
+        # each field's block sum fits int32
+        s0 = _sum_i32(mv & 0xFFF)
+        s1 = _sum_i32((mv >> 12) & 0xFFF)
+        s2 = _sum_i32(mv >> 24)
+        hi, lo = _add64(shi[0], slo[0], np.int32(0), s0)
+        hi, lo = _add64(hi, lo, *_split64(s1, 12))
+        hi, lo = _add64(hi, lo, *_split64(s2, 24))
+        shi[0] = hi
+        slo[0] = lo
+        mn[0] = jnp.minimum(mn[0], jnp.min(jnp.where(mask, v, _I32_MAX)))
+        mx[0] = jnp.maximum(mx[0], jnp.max(jnp.where(mask, v, _I32_MIN)))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4, 5))
+def filter_agg_i32(filt: jnp.ndarray, op: str, threshold, cols,
+                   n_cols: int, interpret: bool = False, n_valid=None):
+    """Fused ``WHERE filt <op> threshold`` global aggregation over int32 lanes.
+
+    ``filt``: (n,) int32 filter column.  ``op``: one of gt/ge/lt/le/eq/ne.
+    ``cols``: tuple of ``n_cols`` int32 (n,) value columns (may alias filt).
+    ``n_valid``: number of leading non-padding rows (traced OK; defaults n).
+
+    Returns ``(count_i64, [(sum_i64, min_i32, max_i32), ...])`` with one
+    triple per value column.  min/max are sentinel (INT32_MAX/MIN) when no
+    row matches — callers gate on count like the XLA global path does.
+    """
+    n = filt.shape[0]
+    if n_valid is None:
+        n_valid = n
+    filt, n_pad = _pad_to_block(filt)
+    cols = tuple(_pad_to_block(c)[0] for c in cols)
+    grid = n_pad // _BLOCK
+
+    blk = pl.BlockSpec((_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
+    scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+    outs = pl.pallas_call(
+        functools.partial(_filter_agg_kernel, op, n_cols),
+        grid=(grid,),
+        in_specs=[scalar, scalar, blk] + [blk] * n_cols,
+        out_specs=[scalar] * (1 + 4 * n_cols),
+        out_shape=[jax.ShapeDtypeStruct((1,), jnp.int32)
+                   for _ in range(1 + 4 * n_cols)],
+        interpret=interpret,
+    )(jnp.asarray([threshold], dtype=jnp.int32),
+      jnp.asarray([n_valid], dtype=jnp.int32), filt, *cols)
+
+    count = outs[0][0].astype(jnp.int64)
+    results = []
+    for k in range(n_cols):
+        shi, slo, mn, mx = outs[1 + 4 * k: 5 + 4 * k]
+        total = (shi[0].astype(jnp.int64) << 32) | (
+            slo[0].astype(jnp.int64) & 0xFFFFFFFF)
+        results.append((total, mn[0], mx[0]))
+    return count, results
 
 
 def filter_count_sum_i32(values: jnp.ndarray, threshold, n_valid) -> tuple:
-    """Fused ``COUNT(*), SUM(v) WHERE v > threshold`` over an int32 column.
-
-    Returns (count i64, sum i64).  The int32 fast path mirrors the engine's
-    zone-map narrowing; partial sums stay exact because each block holds
-    <= 64K values of |v| < 2^31 (< 2^47 per block, summed in f32? no —
-    see below: per-block sums accumulate in f32 only when exactness is not
-    required; the engine calls the exact variant)."""
-    n = values.shape[0]
-    n_pad = -(-n // _BLOCK) * _BLOCK
-    if n_pad != n:
-        values = jnp.concatenate([
-            values, jnp.zeros(n_pad - n, dtype=values.dtype)])
-    grid = n_pad // _BLOCK
-
-    counts, sums = pl.pallas_call(
-        _kernel,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((grid,), jnp.int32),
-            jax.ShapeDtypeStruct((grid,), jnp.float32),
-        ],
-    )(jnp.asarray([threshold], dtype=values.dtype), values,
-      jnp.asarray([n_valid], dtype=jnp.int32))
-    return (jnp.sum(counts.astype(jnp.int64)),
-            jnp.sum(sums.astype(jnp.float64)))
-
-
-def _kernel_exact(thresh_ref, v_ref, nvalid_ref, count_ref, shi_ref, slo_ref):
-    """Exact-integer variant: per-block sum split into (high, low) 32-bit
-    partials so the total reconstructs an exact int64 without 64-bit VPU ops."""
-    i = pl.program_id(0)
-    base = i * _BLOCK
-    v = v_ref[:]
-    idx = base + jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
-    in_prefix = idx < nvalid_ref[0]
-    mask = (v > thresh_ref[0]) & in_prefix
-    masked = jnp.where(mask, v, 0)
-    # split each value into 16-bit halves; block sums of halves fit int32
-    lo = masked & 0xFFFF
-    hi = masked >> 16
-    count_ref[0] = jnp.sum(mask.astype(jnp.int32))
-    slo_ref[0] = jnp.sum(lo.astype(jnp.int32))
-    shi_ref[0] = jnp.sum(hi.astype(jnp.int32))
+    """Fused ``COUNT(*), SUM(v) WHERE v > threshold`` over an int32 column
+    (single column aliased as both filter and aggregate input)."""
+    count, ((total, _mn, _mx),) = filter_agg_i32(
+        values, "gt", threshold, (values,), 1, False, n_valid)
+    return count, total.astype(jnp.float64)
 
 
 def filter_count_sum_exact_i32(values: jnp.ndarray, threshold, n_valid):
-    """Exact int64 ``COUNT/SUM WHERE v > c`` for non-negative int32 values."""
-    n = values.shape[0]
-    n_pad = -(-n // _BLOCK) * _BLOCK
-    if n_pad != n:
-        values = jnp.concatenate([
-            values, jnp.zeros(n_pad - n, dtype=values.dtype)])
-    grid = n_pad // _BLOCK
-
-    counts, hi, lo = pl.pallas_call(
-        _kernel_exact,
-        grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((grid,), jnp.int32),
-            jax.ShapeDtypeStruct((grid,), jnp.int32),
-            jax.ShapeDtypeStruct((grid,), jnp.int32),
-        ],
-    )(jnp.asarray([threshold], dtype=values.dtype), values,
-      jnp.asarray([n_valid], dtype=jnp.int32))
-    total = (jnp.sum(hi.astype(jnp.int64)) << 16) + jnp.sum(lo.astype(jnp.int64))
-    return jnp.sum(counts.astype(jnp.int64)), total
+    """Exact int64 ``COUNT/SUM WHERE v > c`` for int32 values."""
+    count, ((total, _mn, _mx),) = filter_agg_i32(
+        values, "gt", threshold, (values,), 1, False, n_valid)
+    return count, total

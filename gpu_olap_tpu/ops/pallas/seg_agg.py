@@ -84,12 +84,20 @@ def _prefix_sum_i32(x):
     return x
 
 
+def _sum_i32(vec_i32):
+    """Scalar int32 sum of a vector.  Reduce a (1, n) view over axis 1 so the
+    output aval is (1,): Mosaic's scalar-reduce lowering wraps the op in a
+    proxy that re-enters ``jnp.sum`` WITHOUT the dtype override, and under
+    x64 that promotes int32 -> int64, which Mosaic cannot lower."""
+    n = vec_i32.shape[0]
+    return jnp.sum(vec_i32.reshape(1, n), axis=1, dtype=jnp.int32)[0]
+
+
 def _onehot_extract(vec_i32, idx):
     """vec[idx] via a masked integer reduction (no dynamic vector indexing)."""
     n = vec_i32.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    return jnp.sum(jnp.where(iota == idx, vec_i32, np.int32(0)),
-                   dtype=jnp.int32)
+    return _sum_i32(jnp.where(iota == idx, vec_i32, np.int32(0)))
 
 
 def _seg_agg_kernel(keys_ref, vals_ref,
@@ -147,12 +155,10 @@ def _seg_agg_kernel(keys_ref, vals_ref,
 
         # -- open-run (segment 0) partials fold into the carry ------------
         m0 = seg == 0
-        cnt0 = jnp.sum(m0.astype(jnp.int32), dtype=jnp.int32)
-        s0_lo = jnp.sum(jnp.where(m0, v & 0xFFF, np.int32(0)),
-                        dtype=jnp.int32)
-        s0_md = jnp.sum(jnp.where(m0, (v >> 12) & 0xFFF, np.int32(0)),
-                        dtype=jnp.int32)
-        s0_hi = jnp.sum(jnp.where(m0, v >> 24, np.int32(0)), dtype=jnp.int32)
+        cnt0 = _sum_i32(m0.astype(jnp.int32))
+        s0_lo = _sum_i32(jnp.where(m0, v & 0xFFF, np.int32(0)))
+        s0_md = _sum_i32(jnp.where(m0, (v >> 12) & 0xFFF, np.int32(0)))
+        s0_hi = _sum_i32(jnp.where(m0, v >> 24, np.int32(0)))
         ocnt = ocnt + cnt0
         ahi, alo = _split64(s0_md, 12)
         bhi, blo = _split64(s0_hi, 24)
@@ -272,18 +278,20 @@ def _seg_agg_kernel(keys_ref, vals_ref,
     @pl.when(do_write)
     def _():
         outs = (key_out, cnt_out, shi_out, slo_out, mn_out, mx_out)
+        # index lanes with int32 scalars: plain Python ints are weak-i64
+        # under x64 and tpu.memref_slice demands i32 operands
         for lane, out in enumerate(outs):
             dma = pltpu.make_async_copy(
-                stage.at[lane, pl.ds(0, SBW)],
+                stage.at[jnp.int32(lane), pl.ds(0, SBW)],
                 out.at[pl.ds(win_base, SBW)],
-                sems.at[lane],
+                sems.at[jnp.int32(lane)],
             )
             dma.start()
         for lane, out in enumerate(outs):
             pltpu.make_async_copy(
-                stage.at[lane, pl.ds(0, SBW)],
+                stage.at[jnp.int32(lane), pl.ds(0, SBW)],
                 out.at[pl.ds(win_base, SBW)],
-                sems.at[lane],
+                sems.at[jnp.int32(lane)],
             ).wait()
 
 

@@ -18,18 +18,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(r):
+    # relay sync: force a SCALAR readback — slice on device first, else the
+    # whole array is pulled through the slow relay and dominates the timing
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    np.asarray(leaf.ravel()[-1:])
+
+
 def timeit(fn, *args, iters=3, warm=1):
     for _ in range(warm):
         r = fn(*args)
         jax.block_until_ready(r)
-        # relay sync: force a scalar readback
-        np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+        _sync(r)
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         r = fn(*args)
         jax.block_until_ready(r)
-        np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+        _sync(r)
         best = min(best, time.perf_counter() - t0)
     return best
 
