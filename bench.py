@@ -3,18 +3,23 @@
 Prints ONE JSON line to stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline: two-table equi-join throughput (BASELINE config 3; reference claim
-62.5M rows/s for 100M x 100M on GPU, README.md:325 — rows counted as
-left+right like the reference).  Details for all configs go to stderr and
-bench_results.json.
+Headline: two-table equi-join throughput at the reference's own shape —
+100M x 100M rows with NON-UNIQUE keys (BASELINE config 3; reference claim
+62.5M rows/s on GPU, README.md:325 — rows counted as left+right like the
+reference).  Details for all configs go to stderr and bench_results.json,
+including the achieved effective scan bandwidth and its fraction of the
+per-chip HBM roofline (BASELINE >=80% target).
 
-Usage:  python bench.py [--quick] [--config N] [--rows N]
+Usage:  python bench.py [--quick] [--config N] [--rows N] [--xl]
+        --xl adds the 1B-row out-of-core streamed GROUP BY (reference
+        README.md:332-334 workload; needs ~20 GB disk for the parquet).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -22,8 +27,10 @@ import numpy as np
 
 BASELINES = {
     # reference-published GPU numbers (BASELINE.md)
-    "join": 62.5e6,          # rows/s, inner join (l+r rows / time)
-    "groupby": 526e6,        # rows/s, 1B-row GROUP BY
+    "join": 62.5e6,          # rows/s, inner join 100Mx100M (l+r rows / time)
+    "join_lookup": 62.5e6,   # rows/s, asymmetric unique-build lookup shape
+    "groupby": 526e6,        # rows/s, GROUP BY (reference: 1B rows)
+    "groupby_1b": 526e6,     # rows/s, the literal 1B-row streamed workload
     "filter_agg": 526e6,     # closest published analogue
     "sortmerge": 48.8e6,     # rows/s sort-merge join
 }
@@ -48,9 +55,11 @@ def _time_query(eng, sql: str, iters: int = 3):
     eng.query(sql)  # warm: compile + device upload
     best = float("inf")
     best_exec = float("inf")
+    bytes_exec = 0
     for _ in range(iters):
         st = GLOBAL_METRICS.ops.get("device_execute")
         s0 = st.seconds if st else 0.0
+        b0 = st.bytes_accessed if st else 0
         t0 = time.perf_counter()
         r = eng.query(sql)
         dt = time.perf_counter() - t0
@@ -59,7 +68,25 @@ def _time_query(eng, sql: str, iters: int = 3):
         if st is not None and st.seconds > s0:
             # device-program wall time, sans host parse/plan + result pull
             best_exec = min(best_exec, st.seconds - s0)
-    return best, r, (best_exec if best_exec < float("inf") else None)
+            bytes_exec = st.bytes_accessed - b0
+    return best, r, (best_exec if best_exec < float("inf") else None), bytes_exec
+
+
+def _roofline(res: dict):
+    """Effective scan bandwidth of the device program: table input bytes
+    (each input byte counted ONCE) / device-program wall seconds, as a
+    fraction of the per-chip HBM roofline.  Multi-pass operators touch HBM
+    more than once, so this is a conservative lower bound on achieved BW."""
+    from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
+
+    ex = res.get("exec_seconds")
+    by = res.get("exec_bytes", 0)
+    if ex and by:
+        gbps = by / ex / 1e9
+        res["scan_gbps"] = round(gbps, 2)
+        res["scan_roofline_frac"] = round(
+            by / ex / GLOBAL_METRICS.hbm_bandwidth, 4)
+    return res
 
 
 def bench_filter_agg(n_rows: int, iters: int):
@@ -71,9 +98,14 @@ def bench_filter_agg(n_rows: int, iters: int):
         "v": rng.integers(0, 1000, n_rows).astype(np.int64),
     })
     sql = "SELECT COUNT(*) AS n, SUM(v) AS s FROM t WHERE v > 500"
-    dt, r, ex = _time_query(eng, sql, iters)
-    return {"seconds": dt, "exec_seconds": ex, "rows": n_rows,
-            "rows_per_sec": n_rows / dt, "result_rows": r.num_rows}
+    dt, r, ex, by = _time_query(eng, sql, iters)
+    from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
+
+    return _roofline({"seconds": dt, "exec_seconds": ex, "exec_bytes": by,
+                      "rows": n_rows, "rows_per_sec": n_rows / dt,
+                      "result_rows": r.num_rows,
+                      "pallas_fused": GLOBAL_METRICS.counters.get(
+                          "pallas_filter_agg_trace", 0) > 0})
 
 
 def bench_groupby(n_rows: int, n_groups: int, iters: int):
@@ -85,29 +117,89 @@ def bench_groupby(n_rows: int, n_groups: int, iters: int):
         "v": rng.integers(0, 1_000_000, n_rows).astype(np.int64),
     })
     sql = "SELECT k, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx FROM t GROUP BY k"
-    dt, r, ex = _time_query(eng, sql, iters)
-    return {"seconds": dt, "exec_seconds": ex, "rows": n_rows,
-            "rows_per_sec": n_rows / dt, "groups": r.num_rows}
+    dt, r, ex, by = _time_query(eng, sql, iters)
+    return _roofline({"seconds": dt, "exec_seconds": ex, "exec_bytes": by,
+                      "rows": n_rows, "rows_per_sec": n_rows / dt,
+                      "groups": r.num_rows})
 
 
-def bench_join(n_left: int, n_right: int, iters: int, zipf: bool = False):
-    """Config 3: two-table hash join, uniform int64 keys (probe x build)."""
+def bench_groupby_1b(n_rows: int, n_groups: int, iters: int):
+    """The reference's literal GROUP BY workload (README.md:332-334): 1B rows.
+
+    Larger than HBM (1B x 2 int64 columns + sort buffers) — runs through the
+    out-of-core streamed partial-aggregation path from a parquet file, so the
+    measured rate is host->device-link-bound, not compute-bound.  The
+    device-compute rate is reported separately by the 100M in-memory config.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.environ.get("GPU_OLAP_1B_PARQUET", "/tmp/gpu_olap_1b.parquet")
+    if not os.path.exists(path):
+        print(f"# writing {n_rows} rows to {path} ...", file=sys.stderr)
+        rng = np.random.default_rng(42)
+        chunk = 50_000_000
+        writer = None
+        for lo in range(0, n_rows, chunk):
+            m = min(chunk, n_rows - lo)
+            t = pa.table({
+                "k": rng.integers(0, n_groups, m),
+                "v": rng.integers(0, 1_000_000, m),
+            })
+            if writer is None:
+                writer = pq.ParquetWriter(path, t.schema)
+            writer.write_table(t)
+        writer.close()
+    eng = _engine(1 << 26)
+    eng.load_table("t", path)
+    sql = "SELECT k, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx FROM t GROUP BY k"
+    t0 = time.perf_counter()
+    r = eng.query(sql)
+    dt = time.perf_counter() - t0
+    best = dt
+    for _ in range(max(iters - 1, 0)):
+        t0 = time.perf_counter()
+        r = eng.query(sql)
+        best = min(best, time.perf_counter() - t0)
+    return {"seconds": best, "rows": n_rows, "rows_per_sec": n_rows / best,
+            "groups": r.num_rows, "backend": r.meta.get("backend")}
+
+
+def bench_join(n_left: int, n_right: int, iters: int):
+    """Config 3 HONEST shape: 100M x 100M, NON-UNIQUE keys on both sides
+    (key space = n_right / 2, ~2 duplicates per build key) — defeats the
+    unique-build lookup fast path, so the general merge-probe (radix-hash
+    analogue) executes.  Rows/s counts l+r like the reference README.md:325."""
+    eng = _engine(max(n_left, n_right), join_expansion=2.6)
+    rng = np.random.default_rng(2)
+    nkeys = max(n_right // 2, 1)
+    eng.register("l", {"k": rng.integers(0, nkeys, n_left).astype(np.int64),
+                       "v": rng.integers(0, 1000, n_left).astype(np.int64)})
+    eng.register("r", {"k": rng.integers(0, nkeys, n_right).astype(np.int64),
+                       "w": rng.integers(0, 1000, n_right).astype(np.int64)})
+    sql = "SELECT COUNT(*) AS n, SUM(l.v + r.w) AS s FROM l JOIN r ON l.k = r.k"
+    dt, r, ex, by = _time_query(eng, sql, iters)
+    total_rows = n_left + n_right
+    return _roofline({"seconds": dt, "exec_seconds": ex, "exec_bytes": by,
+                      "rows": total_rows, "rows_per_sec": total_rows / dt,
+                      "matches": int(r.to_pydict()["n"][0])})
+
+
+def bench_join_lookup(n_left: int, n_right: int, iters: int):
+    """Asymmetric unique-build shape (persistent dense-index lookup join):
+    kept alongside the honest config to track the fast path."""
     eng = _engine(max(n_left, n_right))
     rng = np.random.default_rng(2)
-    if zipf:
-        raw = rng.zipf(1.3, n_left).astype(np.int64)
-        lk = np.clip(raw, 1, n_right) - 1
-    else:
-        lk = rng.integers(0, n_right, n_left).astype(np.int64)
+    lk = rng.integers(0, n_right, n_left).astype(np.int64)
     eng.register("l", {"k": lk, "v": rng.integers(0, 1000, n_left).astype(np.int64)})
     eng.register("r", {"k": np.arange(n_right, dtype=np.int64),
                        "w": rng.integers(0, 1000, n_right).astype(np.int64)})
     sql = "SELECT COUNT(*) AS n, SUM(l.v + r.w) AS s FROM l JOIN r ON l.k = r.k"
-    dt, r, ex = _time_query(eng, sql, iters)
+    dt, r, ex, by = _time_query(eng, sql, iters)
     total_rows = n_left + n_right
-    return {"seconds": dt, "exec_seconds": ex, "rows": total_rows,
-            "rows_per_sec": total_rows / dt,
-            "matches": int(r.to_pydict()["n"][0])}
+    return _roofline({"seconds": dt, "exec_seconds": ex, "exec_bytes": by,
+                      "rows": total_rows, "rows_per_sec": total_rows / dt,
+                      "matches": int(r.to_pydict()["n"][0])})
 
 
 def bench_sortmerge(n_left: int, n_right: int, iters: int):
@@ -119,11 +211,11 @@ def bench_sortmerge(n_left: int, n_right: int, iters: int):
     eng.register("l", {"k": rng.integers(0, nkeys, n_left).astype(np.int64)})
     eng.register("r", {"k": rng.integers(0, nkeys, n_right).astype(np.int64)})
     sql = "SELECT COUNT(*) AS n FROM l JOIN r ON l.k = r.k"
-    dt, r, ex = _time_query(eng, sql, iters)
+    dt, r, ex, by = _time_query(eng, sql, iters)
     total_rows = n_left + n_right
-    return {"seconds": dt, "exec_seconds": ex, "rows": total_rows,
-            "rows_per_sec": total_rows / dt,
-            "matches": int(r.to_pydict()["n"][0])}
+    return _roofline({"seconds": dt, "exec_seconds": ex, "exec_bytes": by,
+                      "rows": total_rows, "rows_per_sec": total_rows / dt,
+                      "matches": int(r.to_pydict()["n"][0])})
 
 
 def bench_micro(iters: int = 2000):
@@ -157,6 +249,8 @@ def main():
     ap.add_argument("--quick", action="store_true", help="small sizes (smoke)")
     ap.add_argument("--micro", action="store_true",
                     help="parse/optimize micro-benches only (engine_bench.rs)")
+    ap.add_argument("--xl", action="store_true",
+                    help="also run the 1B-row streamed GROUP BY workload")
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--scale", type=float, default=1.0,
                     help="scale factor on row counts")
@@ -175,14 +269,18 @@ def main():
 
     if args.quick:
         sizes = {"filter_agg": 1 << 20, "groupby": (1 << 20, 1 << 14),
-                 "join": (1 << 20, 1 << 17), "sortmerge": (1 << 19, 1 << 17)}
+                 "join": (1 << 20, 1 << 20), "join_lookup": (1 << 20, 1 << 17),
+                 "sortmerge": (1 << 19, 1 << 17),
+                 "groupby_1b": (1 << 22, 1 << 14)}
     else:
         s = args.scale
         sizes = {
             "filter_agg": int(200e6 * s),
             "groupby": (int(100e6 * s), int(4e6 * s)),
-            "join": (int(100e6 * s), int(10e6 * s)),
+            "join": (int(100e6 * s), int(100e6 * s)),
+            "join_lookup": (int(100e6 * s), int(10e6 * s)),
             "sortmerge": (int(25e6 * s), int(25e6 * s)),
+            "groupby_1b": (int(1e9 * s), int(4e6 * s)),
         }
 
     results = {}
@@ -194,7 +292,11 @@ def main():
         ("groupby", lambda: bench_groupby(*sizes["groupby"], args.iters)),
         ("filter_agg", lambda: bench_filter_agg(sizes["filter_agg"], args.iters)),
         ("sortmerge", lambda: bench_sortmerge(*sizes["sortmerge"], args.iters)),
+        ("join_lookup", lambda: bench_join_lookup(*sizes["join_lookup"], args.iters)),
     ]
+    if args.xl:
+        plan.append(("groupby_1b",
+                     lambda: bench_groupby_1b(*sizes["groupby_1b"], 1)))
     for name, fn in plan:
         if results and time.time() - t0 > args.budget:
             print(f"# skipping {name}: over time budget", file=sys.stderr)
@@ -214,13 +316,16 @@ def main():
         device = str(jax.devices()[0])
     except Exception:
         device = "unknown"
+    from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
+
     payload = {"device": device, "total_seconds": time.time() - t0,
-               "results": results}
+               "hbm_roofline_bytes_per_sec": GLOBAL_METRICS.hbm_bandwidth,
+               "results": results, "op_metrics": GLOBAL_METRICS.summary()}
     with open("bench_results.json", "w") as f:
         json.dump(payload, f, indent=2, default=str)
     print(f"# full results -> bench_results.json ({device})", file=sys.stderr)
 
-    for pick in ("join", "groupby", "filter_agg", "sortmerge"):
+    for pick in ("join", "groupby", "filter_agg", "sortmerge", "join_lookup"):
         if pick in results:
             headline = results[pick]
             break
@@ -228,8 +333,9 @@ def main():
         print(json.dumps({"metric": "bench_failed", "value": 0.0,
                           "unit": "rows/s", "vs_baseline": 0.0}))
         return
-    label = {"join": "inner_join_100Mx10M", "groupby": "groupby_100M_4Mgrp",
-             "filter_agg": "filter_agg_200M", "sortmerge": "sortmerge_25Mx25M"}[pick]
+    label = {"join": "inner_join_100Mx100M", "groupby": "groupby_100M_4Mgrp",
+             "filter_agg": "filter_agg_200M", "sortmerge": "sortmerge_25Mx25M",
+             "join_lookup": "inner_join_lookup_100Mx10M"}[pick]
     if args.quick:
         label += "_quick"
     print(json.dumps({

@@ -1042,7 +1042,108 @@ class _Interpreter:
         rv = jnp.arange(max_groups) < n_groups
         return DevBatch(plan.schema, cols, max_groups, rv)
 
+    _PALLAS_CMP = {">": "gt", ">=": "ge", "<": "lt", "<=": "le",
+                   "=": "eq", "==": "eq", "!=": "ne", "<>": "ne"}
+
+    def _try_pallas_filter_agg(self, plan: P.TpuAggregate,
+                               path) -> Optional[DevBatch]:
+        """Fused Pallas kernel for the reference's JIT-filter flagship shape
+        (``codegen.rs:36-47`` + ``filter_kernel.rs:1-5``): a GLOBAL aggregate
+        (COUNT/SUM/MIN/MAX/AVG over null-free int32-narrowable columns)
+        directly over ``scan -> WHERE <col> <cmp> <int literal>``.  One pass
+        over HBM, 4 B/row/column, no mask materialization
+        (ops/pallas/filter_agg.py).  Returns None when the shape does not
+        match; the caller falls through to the XLA mask path."""
+        if plan.group_exprs or not self.config.use_pallas:
+            return None
+        filt = plan.input
+        if not isinstance(filt, P.TpuFilter) or \
+                not isinstance(filt.input, P.TpuTableScan):
+            return None
+        pred = filt.predicate
+        if not isinstance(pred, P.PhysBinary):
+            return None
+        op = self._PALLAS_CMP.get(pred.op)
+        if op is None:
+            return None
+        lhs, rhs = pred.left, pred.right
+        if isinstance(lhs, P.PhysLiteral) and isinstance(rhs, P.ColumnRef):
+            # lit <cmp> col  ==  col <flipped-cmp> lit
+            lhs, rhs = rhs, lhs
+            op = {"gt": "lt", "ge": "le", "lt": "gt", "le": "ge",
+                  "eq": "eq", "ne": "ne"}[op]
+        if not (isinstance(lhs, P.ColumnRef) and isinstance(rhs, P.PhysLiteral)):
+            return None
+        if not isinstance(rhs.value, (int, np.integer)) or \
+                isinstance(rhs.value, bool):
+            return None
+        lit = int(rhs.value)
+        if not (np.iinfo(np.int32).min < lit < np.iinfo(np.int32).max):
+            return None
+
+        batch = self.exec(filt.input, path + (0, 0))
+        from ..ops.pallas.filter_agg import _BLOCK, filter_agg_i32
+
+        if batch.capacity < _BLOCK:
+            return None  # tiny inputs: XLA is fine, skip kernel overhead
+
+        def _col_ok(e):
+            if not isinstance(e, P.ColumnRef) or _np_kind(e.dtype) != "i":
+                return False
+            c = batch.cols[e.index]
+            return (c.validity is None and c.dictionary is None
+                    and c.int32_ok and c.data.dtype == jnp.int64)
+
+        if not _col_ok(lhs):
+            return None
+        for a in plan.aggs:
+            if a.distinct or a.func not in ("count", "sum", "min", "max", "avg"):
+                return None
+            if a.arg is not None and not _col_ok(a.arg):
+                return None
+
+        # value columns, deduped by table column index
+        col_ix: List[int] = []
+        for a in plan.aggs:
+            if a.arg is not None and a.arg.index not in col_ix:
+                col_ix.append(a.arg.index)
+        filt32 = batch.cols[lhs.index].as_int32()
+        cols32 = tuple(batch.cols[i].as_int32() for i in col_ix)
+        n_valid = (batch.prefix_rows if batch.prefix_rows is not None
+                   else batch.capacity)
+        interpret = jax.default_backend() != "tpu"
+        count, per_col = filter_agg_i32(
+            filt32, op, lit, cols32, len(cols32), interpret, n_valid)
+        has = (count > 0).reshape(1)
+
+        cols = []
+        for a in plan.aggs:
+            acc = a.out_dtype.numpy_dtype
+            if a.arg is None or a.func == "count":
+                # COUNT(col) == COUNT(*) here: columns are proven null-free
+                cols.append(DevCol(count.reshape(1), None))
+                continue
+            total, mn, mx = per_col[col_ix.index(a.arg.index)]
+            if a.func == "sum":
+                s = total.astype(acc) if np.dtype(acc) != np.dtype(np.int64) \
+                    else total
+                cols.append(DevCol(s.reshape(1), has))
+            elif a.func == "avg":
+                av = total.astype(jnp.float64) / jnp.maximum(count, 1)
+                cols.append(DevCol(av.reshape(1), has))
+            else:
+                red = mn if a.func == "min" else mx
+                red = jnp.where(count > 0, red, jnp.zeros((), red.dtype))
+                if np.dtype(acc) != np.dtype(np.int64):
+                    red = red.astype(acc)  # int32 wire widens host-side
+                cols.append(DevCol(red.reshape(1), has))
+        GLOBAL_METRICS.bump("pallas_filter_agg_trace")
+        return DevBatch(plan.schema, cols, 1, None)
+
     def _aggregate(self, plan: P.TpuAggregate, path) -> DevBatch:
+        fast = self._try_pallas_filter_agg(plan, path)
+        if fast is not None:
+            return fast
         if isinstance(plan.input, P.TpuHashJoin):
             fast = self._try_join_aggregate(plan, path)
             if fast is not None:

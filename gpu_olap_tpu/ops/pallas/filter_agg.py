@@ -132,7 +132,11 @@ def filter_agg_i32(filt: jnp.ndarray, op: str, threshold, cols,
     grid = n_pad // _BLOCK
 
     blk = pl.BlockSpec((_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
-    scalar = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # full-array block + explicit int32-zero index map: the auto-generated
+    # index map of an UNBLOCKED spec returns a weak-i64 constant under x64,
+    # which the Mosaic pass pipeline refuses (func.return i64)
+    scalar = pl.BlockSpec((1,), lambda i: (np.int32(0),),
+                          memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         functools.partial(_filter_agg_kernel, op, n_cols),
         grid=(grid,),

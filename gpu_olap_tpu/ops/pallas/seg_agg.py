@@ -100,14 +100,38 @@ def _onehot_extract(vec_i32, idx):
     return _sum_i32(jnp.where(iota == idx, vec_i32, np.int32(0)))
 
 
+#: RMW window width for dynamic-offset stores: loads/stores must sit at
+#: 1024-aligned (8x128 int32 tile) offsets, so a CHUNK-wide write at an
+#: arbitrary offset becomes a masked merge into a 2-tile aligned window.
+_W = 2048
+
+
+def _store_window(stage, lane: int, off, vec):
+    """``stage[lane, off:off+CHUNK] = vec`` for an arbitrary traced ``off``.
+
+    Mosaic vector stores require tile-aligned (1024 int32) dynamic offsets;
+    this reads the aligned ``_W``-wide window covering the target range,
+    rotates ``vec`` into position (tpu.dynamic_rotate), merges under a mask,
+    and stores the window back."""
+    base = pl.multiple_of((off // np.int32(1024)) * np.int32(1024), 1024)
+    place = off - base  # 0..1023
+    w = stage[lane, pl.ds(base, _W)]
+    padded = jnp.concatenate([vec, jnp.zeros((_W - CHUNK,), vec.dtype)])
+    rotated = pltpu.roll(padded, place, 0)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (_W,), 0)
+    mask = (iota_w >= place) & (iota_w < place + np.int32(CHUNK))
+    stage[lane, pl.ds(base, _W)] = jnp.where(mask, rotated, w)
+
+
 def _seg_agg_kernel(keys_ref, vals_ref,
                     key_out, cnt_out, shi_out, slo_out, mn_out, mx_out,
                     ng_out,
-                    keys_s, vals_s, stage, smem, sems):
+                    stage, smem, sems):
     """One superblock.  smem layout (int32):
     0: groups_before (window base in the +1-lead output arrays)
     1: open_cnt   2: open_sum_hi  3: open_sum_lo
     4: open_min   5: open_max     6: open_key
+    7: prev_key   8: prev_val     (last row of the previous superblock)
     """
     i = pl.program_id(0)
     last = pl.num_programs(0) - 1
@@ -115,23 +139,8 @@ def _seg_agg_kernel(keys_ref, vals_ref,
 
     @pl.when(i == 0)
     def _():
-        smem[0] = 0
-        smem[1] = 0
-        smem[2] = 0
-        smem[3] = 0
-        smem[4] = 0
-        smem[5] = 0
-        smem[6] = 0
-        # first global row forces a new-group flag; carries land in the
-        # dummy lead slot (gid -1 -> out[0]) and are sliced off outside
-        # (1-element slices: TPU VMEM disallows scalar stores)
-        keys_s[pl.ds(0, 1)] = keys_ref[pl.ds(0, 1)]
-        vals_s[pl.ds(0, 1)] = vals_ref[pl.ds(0, 1)]
-
-    # stage the block shifted by one: slot j+1 = row j, slot 0 = previous
-    # step's last row (kept in place from the previous iteration)
-    keys_s[pl.ds(1, SB)] = keys_ref[:]
-    vals_s[pl.ds(1, SB)] = vals_ref[:]
+        for s in range(9):
+            smem[s] = 0
 
     win_base = smem[0]
 
@@ -139,17 +148,14 @@ def _seg_agg_kernel(keys_ref, vals_ref,
     # membership column ids: column s holds segment s+1
     seg_cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0) + 1
 
-    def chunk(state):
-        c, (ocnt, oshi, oslo, omin, omax, okey, olocal) = state
-        off = c * CHUNK
-        k = keys_s[pl.ds(off + 1, CHUNK)]
-        kp = keys_s[pl.ds(off, CHUNK)]
-        v = vals_s[pl.ds(off + 1, CHUNK)]
-        vp = vals_s[pl.ds(off, CHUNK)]
+    def lead0(scalar, rolled):
+        return jnp.where(iota_c == 0, scalar, rolled)
 
+    def half_chunk(k, v, kp, vp, is_first, carry):
+        (ocnt, oshi, oslo, omin, omax, okey, olocal) = carry
         flags = k != kp
-        is_first_row = (i == 0) & (c == 0)
-        flags = flags | ((iota_c == 0) & is_first_row)
+        if is_first is not None:
+            flags = flags | ((iota_c == 0) & is_first)
         seg = _prefix_sum_i32(flags.astype(jnp.int32))     # 0..CHUNK
         nloc = _onehot_extract(seg, CHUNK - 1)             # flags in chunk
 
@@ -211,28 +217,25 @@ def _seg_agg_kernel(keys_ref, vals_ref,
 
         # -- window vectors: slot 0 = finalized open group, slot s>=1 =
         #    segment s (slots > nloc are garbage, overwritten later) -------
-        def lead(scalar, rolled):
-            return jnp.where(iota_c == 0, scalar, rolled)
-
         @pl.when(nloc > 0)
         def _():
             one = np.int32(1)
-            w_cnt = lead(ocnt, pltpu.roll(seg_cnt, one, 0))
-            w_shi = lead(oshi, pltpu.roll(seg_shi, one, 0))
-            w_slo = lead(oslo, pltpu.roll(seg_slo, one, 0))
-            w_key = lead(okey, pltpu.roll(seg_key, one, 0))
-            w_min = lead(omin, pltpu.roll(seg_min, one, 0))
+            w_cnt = lead0(ocnt, pltpu.roll(seg_cnt, one, 0))
+            w_shi = lead0(oshi, pltpu.roll(seg_shi, one, 0))
+            w_slo = lead0(oslo, pltpu.roll(seg_slo, one, 0))
+            w_key = lead0(okey, pltpu.roll(seg_key, one, 0))
+            w_min = lead0(omin, pltpu.roll(seg_min, one, 0))
             # max lane is NOT rolled: seg_maxprev[s] is already segment s's
             # max (prev-row value where segment s+1 starts), unlike the other
             # lanes where index s holds segment s+1; slot 0 (the finalized
             # open run = segment 0) is seg_maxprev[0] itself
             w_max = seg_maxprev
-            stage[0, pl.ds(olocal, CHUNK)] = w_key
-            stage[1, pl.ds(olocal, CHUNK)] = w_cnt
-            stage[2, pl.ds(olocal, CHUNK)] = w_shi
-            stage[3, pl.ds(olocal, CHUNK)] = w_slo
-            stage[4, pl.ds(olocal, CHUNK)] = w_min
-            stage[5, pl.ds(olocal, CHUNK)] = w_max
+            _store_window(stage, 0, olocal, w_key)
+            _store_window(stage, 1, olocal, w_cnt)
+            _store_window(stage, 2, olocal, w_shi)
+            _store_window(stage, 3, olocal, w_slo)
+            _store_window(stage, 4, olocal, w_min)
+            _store_window(stage, 5, olocal, w_max)
 
         # -- new open group = last segment of the chunk --------------------
         sel = nloc - 1
@@ -241,15 +244,37 @@ def _seg_agg_kernel(keys_ref, vals_ref,
         oslo = jnp.where(nloc > 0, _onehot_extract(seg_slo, sel), oslo)
         okey = jnp.where(nloc > 0, _onehot_extract(seg_key, sel), okey)
         omin = jnp.where(nloc > 0, _onehot_extract(seg_min, sel), omin)
-        return (c + np.int32(1),
-                (ocnt, oshi, oslo, omin, omax, okey, olocal + nloc))
+        return (ocnt, oshi, oslo, omin, omax, okey, olocal + nloc)
+
+    def chunk(state):
+        """One 2*CHUNK aligned slab: Mosaic dynamic vector loads must sit at
+        1024-aligned offsets, so rows are read in aligned pairs of chunks and
+        the previous-row lane comes from a 1-rotate + carried scalar."""
+        c2, carry, pkey, pval = state
+        base = pl.multiple_of(c2 * np.int32(2 * CHUNK), 2 * CHUNK)
+        k2 = keys_ref[pl.ds(base, 2 * CHUNK)]
+        v2 = vals_ref[pl.ds(base, 2 * CHUNK)]
+        for half in (0, 1):
+            k = jax.lax.slice_in_dim(k2, half * CHUNK, (half + 1) * CHUNK)
+            v = jax.lax.slice_in_dim(v2, half * CHUNK, (half + 1) * CHUNK)
+            kp = lead0(pkey, pltpu.roll(k, np.int32(1), 0))
+            vp = lead0(pval, pltpu.roll(v, np.int32(1), 0))
+            # first global row forces a new-group flag; carries land in the
+            # dummy lead slot (gid -1 -> out[0]), sliced off outside
+            is_first = ((i == 0) & (c2 == 0)) if half == 0 else None
+            carry = half_chunk(k, v, kp, vp, is_first, carry)
+            pkey = _onehot_extract(k, CHUNK - 1)
+            pval = _onehot_extract(v, CHUNK - 1)
+        return c2 + np.int32(1), carry, pkey, pval
 
     carry0 = (smem[1], smem[2], smem[3], smem[4], smem[5], smem[6],
               jnp.int32(0))
     # while_loop with an explicit int32 counter: under x64 a fori_loop's
     # internal induction variable is int64, which Mosaic cannot lower
-    _, (ocnt, oshi, oslo, omin, omax, okey, olocal) = jax.lax.while_loop(
-        lambda st: st[0] < np.int32(CPS), chunk, (jnp.int32(0), carry0))
+    _, (ocnt, oshi, oslo, omin, omax, okey, olocal), pkey, pval = \
+        jax.lax.while_loop(
+            lambda st: st[0] < np.int32(CPS // 2), chunk,
+            (jnp.int32(0), carry0, smem[7], smem[8]))
 
     smem[1] = ocnt
     smem[2] = oshi
@@ -258,19 +283,21 @@ def _seg_agg_kernel(keys_ref, vals_ref,
     smem[5] = omax
     smem[6] = okey
     smem[0] = win_base + olocal
-    # keep the step's last row at slot 0 for the next step
-    keys_s[pl.ds(0, 1)] = keys_s[pl.ds(SB, 1)]
-    vals_s[pl.ds(0, 1)] = vals_s[pl.ds(SB, 1)]
+    # last row of this superblock seeds the next step's previous-row lane
+    smem[7] = pkey
+    smem[8] = pval
 
     @pl.when(i == last)
     def _():
-        # final open group (always exists: padding sentinel group at least)
-        stage[0, pl.ds(olocal, 1)] = okey.reshape(1)
-        stage[1, pl.ds(olocal, 1)] = ocnt.reshape(1)
-        stage[2, pl.ds(olocal, 1)] = oshi.reshape(1)
-        stage[3, pl.ds(olocal, 1)] = oslo.reshape(1)
-        stage[4, pl.ds(olocal, 1)] = omin.reshape(1)
-        stage[5, pl.ds(olocal, 1)] = omax.reshape(1)
+        # final open group (always exists: padding sentinel group at least);
+        # slots past it inside the window are garbage beyond n_groups
+        zero = jnp.zeros((CHUNK,), jnp.int32)
+        _store_window(stage, 0, olocal, lead0(okey, zero))
+        _store_window(stage, 1, olocal, lead0(ocnt, zero))
+        _store_window(stage, 2, olocal, lead0(oshi, zero))
+        _store_window(stage, 3, olocal, lead0(oslo, zero))
+        _store_window(stage, 4, olocal, lead0(omin, zero))
+        _store_window(stage, 5, olocal, lead0(omax, zero))
         ng_out[0] = win_base + olocal
 
     do_write = ((olocal > 0) | (i == last)) & (win_base + SBW <= out_cap)
@@ -316,6 +343,11 @@ def seg_agg_sorted_i32(keys_sorted: jnp.ndarray, vals_sorted: jnp.ndarray,
     grid = n // SB
     cap = max_groups + SBW + 128
 
+    # full-array blocks + explicit int32-zero index maps: the auto-generated
+    # index map of an UNBLOCKED spec returns a weak-i64 constant under x64,
+    # which the Mosaic pass pipeline refuses (func.return i64)
+    full = pl.BlockSpec((cap,), lambda i: (np.int32(0),),
+                        memory_space=pl.ANY)
     kernel = pl.pallas_call(
         _seg_agg_kernel,
         grid=(grid,),
@@ -324,13 +356,9 @@ def seg_agg_sorted_i32(keys_sorted: jnp.ndarray, vals_sorted: jnp.ndarray,
             pl.BlockSpec((SB,), lambda i: (i,), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            full, full, full, full, full, full,
+            pl.BlockSpec((1,), lambda i: (np.int32(0),),
+                         memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((cap,), jnp.int32),  # key at run start
@@ -342,10 +370,9 @@ def seg_agg_sorted_i32(keys_sorted: jnp.ndarray, vals_sorted: jnp.ndarray,
             jax.ShapeDtypeStruct((1,), jnp.int32),    # n_groups
         ],
         scratch_shapes=[
-            pltpu.VMEM((SB + 128,), jnp.int32),       # staged keys (+1 shift)
-            pltpu.VMEM((SB + 128,), jnp.int32),       # staged vals
-            pltpu.VMEM((6, SBW), jnp.int32),          # output staging windows
-            pltpu.SMEM((8,), jnp.int32),
+            # output staging; +_W so RMW window stores at offset <= SB fit
+            pltpu.VMEM((6, SB + _W), jnp.int32),
+            pltpu.SMEM((10,), jnp.int32),
             pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,

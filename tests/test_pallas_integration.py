@@ -82,6 +82,77 @@ def test_seg_agg_distinct(engines):
     _parity(dev, cpu, "SELECT DISTINCT k FROM t")
 
 
+@pytest.fixture(scope="module")
+def engines_big():
+    """Above the fused filter+agg kernel's one-block (64K rows) gate."""
+    rng = np.random.default_rng(8)
+    n = 70_000
+    data = {
+        "k": rng.integers(0, 500, n).astype(np.int64),
+        "v": rng.integers(-50_000, 100_000, n).astype(np.int64),
+        "w": rng.integers(0, 1_000, n).astype(np.int64),
+        "f": rng.normal(size=n),
+    }
+    dev = make_engine("device")
+    dev.register("t", data)
+    cpu = make_engine("cpu")
+    cpu.catalog = dev.catalog
+    return dev, cpu
+
+
+def _parity_fa(dev, cpu, sql, hits=True):
+    with _bumped("pallas_filter_agg_trace") as c:
+        got = dev.query(sql)
+    assert got.metrics["backend"] == "device"
+    if hits:
+        assert c.hits >= 1, f"filter_agg kernel not traced for: {sql}"
+    else:
+        assert c.hits == 0, f"filter_agg kernel unexpectedly traced for: {sql}"
+    exp = cpu.query(sql)
+    gdf = got.to_pandas().reset_index(drop=True)
+    edf = exp.to_pandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(gdf, edf, check_dtype=False, rtol=1e-12)
+
+
+def test_filter_agg_fused_all_funcs(engines_big):
+    dev, cpu = engines_big
+    _parity_fa(dev, cpu,
+               "SELECT COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn, "
+               "MAX(v) AS mx, AVG(v) AS a FROM t WHERE v > 500")
+
+
+def test_filter_agg_fused_distinct_filter_column(engines_big):
+    dev, cpu = engines_big
+    _parity_fa(dev, cpu,
+               "SELECT COUNT(*) AS n, SUM(v) AS s, MAX(w) AS mw "
+               "FROM t WHERE w <= 350")
+
+
+def test_filter_agg_fused_flipped_literal(engines_big):
+    dev, cpu = engines_big
+    _parity_fa(dev, cpu, "SELECT SUM(v) AS s FROM t WHERE 500 < v")
+    _parity_fa(dev, cpu, "SELECT COUNT(w) AS c FROM t WHERE v != 0")
+
+
+def test_filter_agg_fused_empty_match(engines_big):
+    dev, cpu = engines_big
+    # no row matches: COUNT = 0, SUM/MIN/MAX NULL — parity with the oracle
+    _parity_fa(dev, cpu,
+               "SELECT COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn "
+               "FROM t WHERE v > 2000000")
+
+
+def test_filter_agg_not_fused_shapes(engines_big):
+    dev, cpu = engines_big
+    # float predicate column: not int32-narrowable -> XLA mask path
+    _parity_fa(dev, cpu, "SELECT COUNT(*) AS n FROM t WHERE f > 0.5",
+               hits=False)
+    # grouped aggregate -> seg_agg/XLA, not the global fused kernel
+    _parity_fa(dev, cpu,
+               "SELECT k, COUNT(*) AS n FROM t WHERE v > 500 GROUP BY k "
+               "ORDER BY k", hits=False)
+
+
 def test_use_pallas_false_still_correct(engines):
     _, cpu = engines
     dev2 = make_engine("device", use_pallas=False)
