@@ -10,6 +10,8 @@ reference documents but never implemented.
 
 from __future__ import annotations
 
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Optional
 
 from .catalog import Catalog
@@ -35,6 +37,15 @@ class OlapEngine:
         # (PROJECT_SUMMARY.md:200, lib.rs:29-30)
         self._result_cache: dict = {}
         self._result_cache_max = 128
+        # concurrent execution (reference: tokio async engine + DashMap
+        # catalog, lib.rs:52 / catalog.rs:12).  Parse/optimize/plan are pure
+        # and run concurrently; the single-accelerator device executor is
+        # serialized by _device_lock; the CPU oracle runs fully concurrent.
+        self._cache_lock = threading.Lock()
+        self._exec_init_lock = threading.Lock()
+        self._device_lock = threading.Lock()
+        self._df_lock = threading.Lock()
+        self._pool: Optional[ThreadPoolExecutor] = None
 
     # -- table management (lib.rs:71-78) -----------------------------------
     def load_table(self, name: str, path: str) -> None:
@@ -89,7 +100,8 @@ class OlapEngine:
             tables = self._referenced_tables(physical)
             cache_key = (sql, tuple((t, self.catalog.get_version(t))
                                     for t in tables))
-            hit = self._result_cache.get(cache_key)
+            with self._cache_lock:
+                hit = self._result_cache.get(cache_key)
             if hit is not None:
                 return QueryResult(hit, {"plan_seconds": t_plan.seconds,
                                          "exec_seconds": 0.0,
@@ -110,7 +122,9 @@ class OlapEngine:
                     )
 
                     try:
-                        batch = self._get_distributed_executor().execute(physical)
+                        with self._device_lock:
+                            batch = self._get_distributed_executor().execute(
+                                physical)
                         backend = "distributed"
                     except NotDistributable as e:
                         logger.info("plan not distributable (%s); "
@@ -118,8 +132,11 @@ class OlapEngine:
                 if batch is None:
                     try:
                         dev = self._get_device_executor()
-                        batch = dev.execute(physical)
-                        backend = getattr(dev, "last_backend", "device")
+                        # one accelerator: device programs serialize (the
+                        # executor also mutates its compile/table caches)
+                        with self._device_lock:
+                            batch = dev.execute(physical)
+                            backend = getattr(dev, "last_backend", "device")
                     except DeviceUnsupported as e:
                         logger.info("device path unsupported (%s); CPU fallback", e)
                         from .executor.cpu import CpuExecutor
@@ -129,9 +146,10 @@ class OlapEngine:
         logger.info("query executed: plan %.2f ms, exec %.2f ms, %d rows",
                     t_plan.seconds * 1e3, t_exec.seconds * 1e3, batch.num_rows)
         if cache_key is not None:
-            if len(self._result_cache) >= self._result_cache_max:
-                self._result_cache.pop(next(iter(self._result_cache)))
-            self._result_cache[cache_key] = batch
+            with self._cache_lock:
+                if len(self._result_cache) >= self._result_cache_max:
+                    self._result_cache.pop(next(iter(self._result_cache)))
+                self._result_cache[cache_key] = batch
         return QueryResult(batch, {
             "plan_seconds": t_plan.seconds,
             "exec_seconds": t_exec.seconds,
@@ -142,22 +160,57 @@ class OlapEngine:
     def query(self, sql: str) -> QueryResult:
         return self.execute_query(sql)
 
+    # -- concurrent execution (reference: async tokio API, lib.rs:52) -------
+    def query_async(self, sql: str) -> "Future[QueryResult]":
+        """Submit a query to the engine's thread pool and return a
+        ``concurrent.futures.Future``.  Planning runs concurrently across
+        queries; device programs serialize on the accelerator while the CPU
+        oracle executes fully in parallel.  Pool width follows
+        ``num_feed_buffers`` (the reference's ``num_streams``, lib.rs:36)."""
+        return self._get_pool().submit(self.execute_query, sql)
+
+    async def aquery(self, sql: str) -> QueryResult:
+        """asyncio coroutine form of :meth:`query_async` — the direct
+        analogue of the reference's ``async fn execute_query``."""
+        import asyncio
+
+        return await asyncio.wrap_future(self.query_async(sql))
+
+    def shutdown(self) -> None:
+        """Drain and close the concurrent-query pool (idempotent)."""
+        with self._exec_init_lock:
+            pool, self._pool = self._pool, None
+        if pool is not None:
+            pool.shutdown(wait=True)
+
+    def _get_pool(self) -> ThreadPoolExecutor:
+        if self._pool is None:
+            with self._exec_init_lock:
+                if self._pool is None:
+                    self._pool = ThreadPoolExecutor(
+                        max_workers=max(self.config.num_feed_buffers, 1),
+                        thread_name_prefix="olap-query")
+        return self._pool
+
     def query_pandas(self, df, sql: str) -> QueryResult:
         """Query a pandas DataFrame registered as table ``df``
-        (``examples/python_usage.py:96``)."""
-        self.catalog.register_pandas("df", df)
-        try:
-            return self.execute_query(sql)
-        finally:
-            self.catalog.drop_table("df")
+        (``examples/python_usage.py:96``).  The fixed table name is part of
+        the documented API, so concurrent frame queries serialize on it."""
+        with self._df_lock:
+            self.catalog.register_pandas("df", df)
+            try:
+                return self.execute_query(sql)
+            finally:
+                self.catalog.drop_table("df")
 
     def query_polars(self, df, sql: str) -> QueryResult:
         """Polars integration via Arrow (``examples/python_usage.py:164``)."""
-        self.catalog.register_arrow("df", df.to_arrow())
-        try:
-            return self.execute_query(sql)
-        finally:
-            self.catalog.drop_table("df")
+        with self._df_lock:
+            self.catalog.register_arrow("df", df.to_arrow())
+            try:
+                return self.execute_query(sql)
+            finally:
+                self.catalog.drop_table("df")
 
     # -- internals ---------------------------------------------------------
     @staticmethod
@@ -187,19 +240,24 @@ class OlapEngine:
 
     def _get_device_executor(self):
         if self._device_executor is None:
-            from .executor.device import DeviceExecutor
+            with self._exec_init_lock:
+                if self._device_executor is None:
+                    from .executor.device import DeviceExecutor
 
-            self._device_executor = DeviceExecutor(self.catalog, self.config)
+                    self._device_executor = DeviceExecutor(
+                        self.catalog, self.config)
         return self._device_executor
 
     def _get_distributed_executor(self):
         if getattr(self, "_dist_executor", None) is None:
-            from .executor.device import _Interpreter
-            from .parallel.dist_executor import DistributedExecutor
+            with self._exec_init_lock:
+                if getattr(self, "_dist_executor", None) is None:
+                    from .executor.device import _Interpreter
+                    from .parallel.dist_executor import DistributedExecutor
 
-            self._dist_executor = DistributedExecutor(
-                self.catalog, self.config, _Interpreter
-            )
+                    self._dist_executor = DistributedExecutor(
+                        self.catalog, self.config, _Interpreter
+                    )
         return self._dist_executor
 
 

@@ -71,6 +71,13 @@ def _split64(hi_small, shift):
     return f(hi_small)
 
 
+def _roll1d(x, shift):
+    """Wrapping roll of a 1D vector.  Mosaic's ``tpu.dynamic_rotate`` only
+    lowers for >=2D shapes, so roll a (1, n) view along axis 1."""
+    n = x.shape[0]
+    return pltpu.roll(x.reshape(1, n), shift, 1).reshape(n)
+
+
 def _prefix_sum_i32(x):
     """Inclusive prefix sum of an int32 vector — log-step shift-adds
     (``cumsum`` has no Pallas TPU lowering)."""
@@ -78,7 +85,7 @@ def _prefix_sum_i32(x):
     iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
     d = 1
     while d < n:
-        sh = pltpu.roll(x, np.int32(d), 0)  # sh[i] = x[i - d] (wrapping)
+        sh = _roll1d(x, np.int32(d))  # sh[i] = x[i - d] (wrapping)
         x = x + jnp.where(iota >= np.int32(d), sh, np.int32(0))
         d *= 2
     return x
@@ -117,7 +124,7 @@ def _store_window(stage, lane: int, off, vec):
     place = off - base  # 0..1023
     w = stage[lane, pl.ds(base, _W)]
     padded = jnp.concatenate([vec, jnp.zeros((_W - CHUNK,), vec.dtype)])
-    rotated = pltpu.roll(padded, place, 0)
+    rotated = _roll1d(padded, place)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (_W,), 0)
     mask = (iota_w >= place) & (iota_w < place + np.int32(CHUNK))
     stage[lane, pl.ds(base, _W)] = jnp.where(mask, rotated, w)
@@ -220,11 +227,11 @@ def _seg_agg_kernel(keys_ref, vals_ref,
         @pl.when(nloc > 0)
         def _():
             one = np.int32(1)
-            w_cnt = lead0(ocnt, pltpu.roll(seg_cnt, one, 0))
-            w_shi = lead0(oshi, pltpu.roll(seg_shi, one, 0))
-            w_slo = lead0(oslo, pltpu.roll(seg_slo, one, 0))
-            w_key = lead0(okey, pltpu.roll(seg_key, one, 0))
-            w_min = lead0(omin, pltpu.roll(seg_min, one, 0))
+            w_cnt = lead0(ocnt, _roll1d(seg_cnt, one))
+            w_shi = lead0(oshi, _roll1d(seg_shi, one))
+            w_slo = lead0(oslo, _roll1d(seg_slo, one))
+            w_key = lead0(okey, _roll1d(seg_key, one))
+            w_min = lead0(omin, _roll1d(seg_min, one))
             # max lane is NOT rolled: seg_maxprev[s] is already segment s's
             # max (prev-row value where segment s+1 starts), unlike the other
             # lanes where index s holds segment s+1; slot 0 (the finalized
@@ -257,8 +264,8 @@ def _seg_agg_kernel(keys_ref, vals_ref,
         for half in (0, 1):
             k = jax.lax.slice_in_dim(k2, half * CHUNK, (half + 1) * CHUNK)
             v = jax.lax.slice_in_dim(v2, half * CHUNK, (half + 1) * CHUNK)
-            kp = lead0(pkey, pltpu.roll(k, np.int32(1), 0))
-            vp = lead0(pval, pltpu.roll(v, np.int32(1), 0))
+            kp = lead0(pkey, _roll1d(k, np.int32(1)))
+            vp = lead0(pval, _roll1d(v, np.int32(1)))
             # first global row forces a new-group flag; carries land in the
             # dummy lead slot (gid -1 -> out[0]), sliced off outside
             is_first = ((i == 0) & (c2 == 0)) if half == 0 else None

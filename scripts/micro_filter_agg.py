@@ -46,6 +46,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1 << 28)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--chain", type=int, default=16)
     args = ap.parse_args()
     n = args.rows
 
@@ -53,6 +54,8 @@ def main():
 
     print(f"device={jax.devices()[0]} rows={n}", flush=True)
     key = jax.random.PRNGKey(0)
+    K = args.chain  # kernels chained per program: amortizes the ~60 ms
+    # relay dispatch+sync floor so per-kernel device time is resolvable
 
     @jax.jit
     def gen():
@@ -61,6 +64,33 @@ def main():
     v = jax.block_until_ready(gen())
 
     @jax.jit
+    def xla_chain(v):
+        def body(i, acc):
+            thr = np.int32(500) + i  # iteration-dependent: defeats CSE
+            mask = v > thr
+            cnt = jnp.sum(mask.astype(jnp.int64))
+            s = jnp.sum(jnp.where(mask, v.astype(jnp.int64), 0))
+            return acc + cnt + s
+        return jax.lax.fori_loop(0, np.int32(K), body, jnp.int64(0))
+
+    @jax.jit
+    def pallas_chain(v):
+        def body(i, acc):
+            cnt, ((s, mn, mx),) = filter_agg_i32(
+                v, "gt", np.int32(500) + i, (v,), 1, False, n)
+            return acc + cnt + s
+        return jax.lax.fori_loop(0, np.int32(K), body, jnp.int64(0))
+
+    t_xla = timeit(xla_chain, v, iters=args.iters) / K
+    gbs_x = n * 4 / t_xla / 1e9
+    print(f"xla     {t_xla*1e3:8.2f} ms  {gbs_x:7.1f} GB/s "
+          f"({gbs_x/HBM_GBPS*100:5.1f}% roofline)", flush=True)
+
+    t_pal = timeit(pallas_chain, v, iters=args.iters) / K
+    gbs_p = n * 4 / t_pal / 1e9
+    print(f"pallas  {t_pal*1e3:8.2f} ms  {gbs_p:7.1f} GB/s "
+          f"({gbs_p/HBM_GBPS*100:5.1f}% roofline)", flush=True)
+
     def xla_path(v):
         mask = v > 500
         cnt = jnp.sum(mask.astype(jnp.int64))
@@ -69,19 +99,11 @@ def main():
         mx = jnp.max(jnp.where(mask, v, np.int32(-2**31)))
         return cnt, s, mn, mx
 
+    xla_path = jax.jit(xla_path)
+
     def pallas_path(v):
         cnt, ((s, mn, mx),) = filter_agg_i32(v, "gt", 500, (v,), 1, False, n)
         return cnt, s, mn, mx
-
-    t_xla = timeit(xla_path, v, iters=args.iters)
-    gbs_x = n * 4 / t_xla / 1e9
-    print(f"xla     {t_xla*1e3:8.2f} ms  {gbs_x:7.1f} GB/s "
-          f"({gbs_x/HBM_GBPS*100:5.1f}% roofline)", flush=True)
-
-    t_pal = timeit(pallas_path, v, iters=args.iters)
-    gbs_p = n * 4 / t_pal / 1e9
-    print(f"pallas  {t_pal*1e3:8.2f} ms  {gbs_p:7.1f} GB/s "
-          f"({gbs_p/HBM_GBPS*100:5.1f}% roofline)", flush=True)
 
     rx = jax.block_until_ready(xla_path(v))
     rp = jax.block_until_ready(pallas_path(v))
