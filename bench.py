@@ -151,6 +151,9 @@ def bench_groupby_1b(n_rows: int, n_groups: int, iters: int):
             writer.write_table(t)
         writer.close()
     eng = _engine(1 << 26)
+    # 8M-row streamed chunks: amortize the ~30 ms relay dispatch floor and
+    # the per-chunk partial-aggregation program over 128 MB uploads
+    eng.config.batch_size = 1 << 23
     eng.load_table("t", path)
     sql = "SELECT k, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx FROM t GROUP BY k"
     t0 = time.perf_counter()

@@ -51,7 +51,7 @@ def bench_step(ndev: int, rows_per_dev: int, iters: int, zipf: bool):
     import jax.numpy as jnp
 
     hist = np.asarray(skew.partition_histogram(jnp.asarray(lk), ndev))
-    capacity = skew.recommend_capacity(hist, headroom=1.3)
+    capacity = skew.recommend_capacity(hist, ndev, headroom=1.3)
     # expected matches/probe ~= n_right/n_keys = 16; 1.5x headroom.  (An
     # oversized buffer is pure waste: every downstream sort runs at the
     # buffer size, not the match count.)

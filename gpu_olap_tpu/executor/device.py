@@ -1082,9 +1082,9 @@ class _Interpreter:
             return None
 
         batch = self.exec(filt.input, path + (0, 0))
-        from ..ops.pallas.filter_agg import _BLOCK, filter_agg_i32
+        from ..ops.pallas.filter_agg import MIN_ROWS, filter_agg_i32
 
-        if batch.capacity < _BLOCK:
+        if batch.capacity < MIN_ROWS:
             return None  # tiny inputs: XLA is fine, skip kernel overhead
 
         def _col_ok(e):
@@ -1102,18 +1102,28 @@ class _Interpreter:
             if a.arg is not None and not _col_ok(a.arg):
                 return None
 
-        # value columns, deduped by table column index
+        # value columns, deduped by table column index; static per-column
+        # (sum, minmax) lane flags — unwanted lanes cost VPU ops per row
         col_ix: List[int] = []
+        want: Dict[int, List[bool]] = {}
         for a in plan.aggs:
-            if a.arg is not None and a.arg.index not in col_ix:
+            if a.arg is None:
+                continue
+            if a.arg.index not in col_ix:
                 col_ix.append(a.arg.index)
+                want[a.arg.index] = [False, False]
+            if a.func in ("sum", "avg"):
+                want[a.arg.index][0] = True
+            elif a.func in ("min", "max"):
+                want[a.arg.index][1] = True
         filt32 = batch.cols[lhs.index].as_int32()
         cols32 = tuple(batch.cols[i].as_int32() for i in col_ix)
+        wants = tuple(tuple(want[i]) for i in col_ix)
         n_valid = (batch.prefix_rows if batch.prefix_rows is not None
                    else batch.capacity)
         interpret = jax.default_backend() != "tpu"
         count, per_col = filter_agg_i32(
-            filt32, op, lit, cols32, len(cols32), interpret, n_valid)
+            filt32, op, lit, cols32, len(cols32), interpret, n_valid, wants)
         has = (count > 0).reshape(1)
 
         cols = []

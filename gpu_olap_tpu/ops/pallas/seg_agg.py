@@ -42,7 +42,8 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 CHUNK = 512                 # rows per inner iteration (one-hot tile edge)
 CPS = 64                    # chunks per superblock (grid step)
 SB = CHUNK * CPS            # rows per grid step
-SBW = SB + CHUNK            # staging window: SB flags + the spanning group
+SBW = SB + 2 * CHUNK        # staging/DMA window: SB flags + spanning group,
+                            # rounded to a 1024 tile multiple (33 x 1024)
 
 _I32_MIN = np.int32(np.iinfo(np.int32).min)
 
@@ -113,8 +114,10 @@ def _onehot_extract(vec_i32, idx):
 _W = 2048
 
 
-def _store_window(stage, lane: int, off, vec):
-    """``stage[lane, off:off+CHUNK] = vec`` for an arbitrary traced ``off``.
+def _store_window(ref, off, vec):
+    """``ref[off:off+CHUNK] = vec`` for an arbitrary traced ``off`` into a 1D
+    staging buffer (one buffer per output lane: slicing a lane out of a 2D
+    scratch violates the 8-sublane tiling for DMA sources).
 
     Mosaic vector stores require tile-aligned (1024 int32) dynamic offsets;
     this reads the aligned ``_W``-wide window covering the target range,
@@ -122,18 +125,22 @@ def _store_window(stage, lane: int, off, vec):
     and stores the window back."""
     base = pl.multiple_of((off // np.int32(1024)) * np.int32(1024), 1024)
     place = off - base  # 0..1023
-    w = stage[lane, pl.ds(base, _W)]
-    padded = jnp.concatenate([vec, jnp.zeros((_W - CHUNK,), vec.dtype)])
-    rotated = _roll1d(padded, place)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (_W,), 0)
+    # all vector work in (1, n) 2D space: Mosaic's 1D concatenate rejects
+    # non-tile-aligned part offsets and 1D dynamic_rotate has no lowering
+    w = ref[pl.ds(base, _W)].reshape(1, _W)
+    padded = jnp.concatenate(
+        [vec.reshape(1, CHUNK), jnp.zeros((1, _W - CHUNK), vec.dtype)], axis=1)
+    rotated = pltpu.roll(padded, place, 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)
     mask = (iota_w >= place) & (iota_w < place + np.int32(CHUNK))
-    stage[lane, pl.ds(base, _W)] = jnp.where(mask, rotated, w)
+    ref[pl.ds(base, _W)] = jnp.where(mask, rotated, w).reshape(_W)
 
 
 def _seg_agg_kernel(keys_ref, vals_ref,
                     key_out, cnt_out, shi_out, slo_out, mn_out, mx_out,
                     ng_out,
-                    stage, smem, sems):
+                    st_key, st_cnt, st_shi, st_slo, st_mn, st_mx,
+                    smem, sems):
     """One superblock.  smem layout (int32):
     0: groups_before (window base in the +1-lead output arrays)
     1: open_cnt   2: open_sum_hi  3: open_sum_lo
@@ -237,12 +244,12 @@ def _seg_agg_kernel(keys_ref, vals_ref,
             # lanes where index s holds segment s+1; slot 0 (the finalized
             # open run = segment 0) is seg_maxprev[0] itself
             w_max = seg_maxprev
-            _store_window(stage, 0, olocal, w_key)
-            _store_window(stage, 1, olocal, w_cnt)
-            _store_window(stage, 2, olocal, w_shi)
-            _store_window(stage, 3, olocal, w_slo)
-            _store_window(stage, 4, olocal, w_min)
-            _store_window(stage, 5, olocal, w_max)
+            _store_window(st_key, olocal, w_key)
+            _store_window(st_cnt, olocal, w_cnt)
+            _store_window(st_shi, olocal, w_shi)
+            _store_window(st_slo, olocal, w_slo)
+            _store_window(st_mn, olocal, w_min)
+            _store_window(st_mx, olocal, w_max)
 
         # -- new open group = last segment of the chunk --------------------
         sel = nloc - 1
@@ -299,31 +306,31 @@ def _seg_agg_kernel(keys_ref, vals_ref,
         # final open group (always exists: padding sentinel group at least);
         # slots past it inside the window are garbage beyond n_groups
         zero = jnp.zeros((CHUNK,), jnp.int32)
-        _store_window(stage, 0, olocal, lead0(okey, zero))
-        _store_window(stage, 1, olocal, lead0(ocnt, zero))
-        _store_window(stage, 2, olocal, lead0(oshi, zero))
-        _store_window(stage, 3, olocal, lead0(oslo, zero))
-        _store_window(stage, 4, olocal, lead0(omin, zero))
-        _store_window(stage, 5, olocal, lead0(omax, zero))
+        _store_window(st_key, olocal, lead0(okey, zero))
+        _store_window(st_cnt, olocal, lead0(ocnt, zero))
+        _store_window(st_shi, olocal, lead0(oshi, zero))
+        _store_window(st_slo, olocal, lead0(oslo, zero))
+        _store_window(st_mn, olocal, lead0(omin, zero))
+        _store_window(st_mx, olocal, lead0(omax, zero))
         ng_out[0] = win_base + olocal
 
     do_write = ((olocal > 0) | (i == last)) & (win_base + SBW <= out_cap)
 
     @pl.when(do_write)
     def _():
-        outs = (key_out, cnt_out, shi_out, slo_out, mn_out, mx_out)
-        # index lanes with int32 scalars: plain Python ints are weak-i64
-        # under x64 and tpu.memref_slice demands i32 operands
-        for lane, out in enumerate(outs):
-            dma = pltpu.make_async_copy(
-                stage.at[jnp.int32(lane), pl.ds(0, SBW)],
+        pairs = ((st_key, key_out), (st_cnt, cnt_out), (st_shi, shi_out),
+                 (st_slo, slo_out), (st_mn, mn_out), (st_mx, mx_out))
+        # index semaphores with int32 scalars: plain Python ints are
+        # weak-i64 under x64 and tpu.memref_slice demands i32 operands
+        for lane, (st, out) in enumerate(pairs):
+            pltpu.make_async_copy(
+                st.at[pl.ds(0, SBW)],
                 out.at[pl.ds(win_base, SBW)],
                 sems.at[jnp.int32(lane)],
-            )
-            dma.start()
-        for lane, out in enumerate(outs):
+            ).start()
+        for lane, (st, out) in enumerate(pairs):
             pltpu.make_async_copy(
-                stage.at[jnp.int32(lane), pl.ds(0, SBW)],
+                st.at[pl.ds(0, SBW)],
                 out.at[pl.ds(win_base, SBW)],
                 sems.at[jnp.int32(lane)],
             ).wait()
@@ -377,8 +384,14 @@ def seg_agg_sorted_i32(keys_sorted: jnp.ndarray, vals_sorted: jnp.ndarray,
             jax.ShapeDtypeStruct((1,), jnp.int32),    # n_groups
         ],
         scratch_shapes=[
-            # output staging; +_W so RMW window stores at offset <= SB fit
-            pltpu.VMEM((6, SB + _W), jnp.int32),
+            # per-lane 1D output staging; +_W so RMW window stores at
+            # offset <= SB fit (2D lane slicing breaks DMA sublane tiling)
+            pltpu.VMEM((SB + _W,), jnp.int32),
+            pltpu.VMEM((SB + _W,), jnp.int32),
+            pltpu.VMEM((SB + _W,), jnp.int32),
+            pltpu.VMEM((SB + _W,), jnp.int32),
+            pltpu.VMEM((SB + _W,), jnp.int32),
+            pltpu.VMEM((SB + _W,), jnp.int32),
             pltpu.SMEM((10,), jnp.int32),
             pltpu.SemaphoreType.DMA((6,)),
         ],

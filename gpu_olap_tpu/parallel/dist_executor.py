@@ -496,7 +496,10 @@ class DistributedExecutor:
                                            row_sharding(self.mesh)))
             return flat
 
-        shuffle_cap = max(max(l_per_dev, r_per_dev) * 2, 128)
+        # per-(src, dst) bucket rows: each device's per_dev local rows split
+        # over ndev destination buckets (~per_dev/ndev uniform; 2x headroom,
+        # heavy keys go through the broadcast side, overflow retries double)
+        shuffle_cap = max(-(-max(l_per_dev, r_per_dev) * 2 // ndev), 128)
         join_cap = max(int((l_per_dev + r_per_dev)
                            * self.config.join_expansion), 256)
         max_groups = min(self.config.max_groups, 1 << 20)

@@ -35,11 +35,19 @@ def partition_histogram(keys: jnp.ndarray, num_partitions: int) -> jnp.ndarray:
     )
 
 
-def recommend_capacity(hist: np.ndarray, headroom: float = 1.25,
-                       align: int = 128) -> int:
-    """Per-peer shuffle bucket capacity from an observed histogram."""
+def recommend_capacity(hist: np.ndarray, ndev: int = 1,
+                       headroom: float = 1.25, align: int = 128) -> int:
+    """Per-(source, destination) shuffle bucket capacity from an observed
+    FULL-TABLE destination histogram.
+
+    Each source device holds ~1/ndev of the table, so the hottest
+    destination's rows split ~evenly across the ndev send buckets aimed at
+    it: bucket peak ~= hist_peak / ndev.  Sizing buckets at the full
+    hist_peak (the round-1 bug) made every receive buffer ndev-times
+    oversized — per-device local work then never shrank with the mesh and
+    scaling efficiency collapsed."""
     peak = int(np.max(np.asarray(hist))) if len(hist) else 1
-    cap = int(peak * headroom) + 1
+    cap = int(peak * headroom / max(ndev, 1)) + 1
     return ((cap + align - 1) // align) * align
 
 
