@@ -176,11 +176,13 @@ def bench_join(n_left: int, n_right: int, iters: int):
     eng = _engine(max(n_left, n_right), join_expansion=2.6)
     rng = np.random.default_rng(2)
     nkeys = max(n_right // 2, 1)
-    eng.register("l", {"k": rng.integers(0, nkeys, n_left).astype(np.int64),
-                       "v": rng.integers(0, 1000, n_left).astype(np.int64)})
-    eng.register("r", {"k": rng.integers(0, nkeys, n_right).astype(np.int64),
-                       "w": rng.integers(0, 1000, n_right).astype(np.int64)})
-    sql = "SELECT COUNT(*) AS n, SUM(l.v + r.w) AS s FROM l JOIN r ON l.k = r.k"
+    eng.register("l", {"k": rng.integers(0, nkeys, n_left).astype(np.int64)})
+    eng.register("r", {"k": rng.integers(0, nkeys, n_right).astype(np.int64)})
+    # SUM over BOTH sides forces true pair materialization (the group-join
+    # rewrite only covers probe-side arguments); summing the keys themselves
+    # keeps the two 100M-row tables single-column so the ~2x-expansion match
+    # buffers + sort ping-pongs fit HBM at the reference's full shape
+    sql = "SELECT COUNT(*) AS n, SUM(l.k + r.k) AS s FROM l JOIN r ON l.k = r.k"
     dt, r, ex, by = _time_query(eng, sql, iters)
     total_rows = n_left + n_right
     return _roofline({"seconds": dt, "exec_seconds": ex, "exec_bytes": by,

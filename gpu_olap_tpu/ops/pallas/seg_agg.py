@@ -138,25 +138,27 @@ def _store_window(ref, off, vec):
 
 def _seg_agg_kernel(keys_ref, vals_ref,
                     key_out, cnt_out, shi_out, slo_out, mn_out, mx_out,
-                    ng_out,
+                    counts_out,
                     st_key, st_cnt, st_shi, st_slo, st_mn, st_mx,
                     smem, sems):
-    """One superblock.  smem layout (int32):
-    0: groups_before (window base in the +1-lead output arrays)
+    """One superblock.  Superblock ``i`` DMAs its finalized groups to its OWN
+    aligned region ``out[i*SBW : (i+1)*SBW]`` and records how many in
+    ``counts_out[i]`` — HBM DMA destinations must sit at provably
+    1024-tile-aligned offsets, so a running global offset cannot be used;
+    one cheap XLA gather compacts the regions afterwards.
+
+    smem layout (int32):
     1: open_cnt   2: open_sum_hi  3: open_sum_lo
     4: open_min   5: open_max     6: open_key
     7: prev_key   8: prev_val     (last row of the previous superblock)
     """
     i = pl.program_id(0)
     last = pl.num_programs(0) - 1
-    out_cap = key_out.shape[0]
 
     @pl.when(i == 0)
     def _():
         for s in range(9):
             smem[s] = 0
-
-    win_base = smem[0]
 
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK,), 0)
     # membership column ids: column s holds segment s+1
@@ -296,7 +298,6 @@ def _seg_agg_kernel(keys_ref, vals_ref,
     smem[4] = omin
     smem[5] = omax
     smem[6] = okey
-    smem[0] = win_base + olocal
     # last row of this superblock seeds the next step's previous-row lane
     smem[7] = pkey
     smem[8] = pval
@@ -304,7 +305,7 @@ def _seg_agg_kernel(keys_ref, vals_ref,
     @pl.when(i == last)
     def _():
         # final open group (always exists: padding sentinel group at least);
-        # slots past it inside the window are garbage beyond n_groups
+        # slots past it inside the window are garbage beyond the count
         zero = jnp.zeros((CHUNK,), jnp.int32)
         _store_window(st_key, olocal, lead0(okey, zero))
         _store_window(st_cnt, olocal, lead0(ocnt, zero))
@@ -312,12 +313,13 @@ def _seg_agg_kernel(keys_ref, vals_ref,
         _store_window(st_slo, olocal, lead0(oslo, zero))
         _store_window(st_mn, olocal, lead0(omin, zero))
         _store_window(st_mx, olocal, lead0(omax, zero))
-        ng_out[0] = win_base + olocal
 
-    do_write = ((olocal > 0) | (i == last)) & (win_base + SBW <= out_cap)
+    n_region = jnp.where(i == last, olocal + 1, olocal)
+    counts_out[i] = n_region
 
-    @pl.when(do_write)
+    @pl.when(n_region > 0)
     def _():
+        base = pl.multiple_of(i * np.int32(SBW), 1024)  # SBW = 33 x 1024
         pairs = ((st_key, key_out), (st_cnt, cnt_out), (st_shi, shi_out),
                  (st_slo, slo_out), (st_mn, mn_out), (st_mx, mx_out))
         # index semaphores with int32 scalars: plain Python ints are
@@ -325,13 +327,13 @@ def _seg_agg_kernel(keys_ref, vals_ref,
         for lane, (st, out) in enumerate(pairs):
             pltpu.make_async_copy(
                 st.at[pl.ds(0, SBW)],
-                out.at[pl.ds(win_base, SBW)],
+                out.at[pl.ds(base, SBW)],
                 sems.at[jnp.int32(lane)],
             ).start()
         for lane, (st, out) in enumerate(pairs):
             pltpu.make_async_copy(
                 st.at[pl.ds(0, SBW)],
-                out.at[pl.ds(win_base, SBW)],
+                out.at[pl.ds(base, SBW)],
                 sems.at[jnp.int32(lane)],
             ).wait()
 
@@ -346,22 +348,24 @@ def seg_agg_sorted_i32(keys_sorted: jnp.ndarray, vals_sorted: jnp.ndarray,
     be the matching second sort lane (ride-the-sort: ascending within group).
 
     Returns (key, cnt_i32, sum_i64, min_i32, max_i32, n_groups_i32) where the
-    dense arrays have ``max_groups + SBW`` capacity; entries >= n_groups are
+    dense arrays have exactly ``max_groups`` entries; entries >= n_groups are
     garbage.  n_groups INCLUDES the sentinel group when padding was present.
-    Capacity overflow (n_groups > capacity headroom): trailing groups are
-    dropped but n_groups is still exact, so the caller's overflow/regrow
-    protocol works unchanged.
+    Overflow (n_groups > max_groups): trailing groups are dropped but
+    n_groups is still exact, so the caller's overflow/regrow protocol works
+    unchanged.
     """
     n = keys_sorted.shape[0]
     assert n % SB == 0, n
     grid = n // SB
-    cap = max_groups + SBW + 128
+    cap = grid * SBW
 
     # full-array blocks + explicit int32-zero index maps: the auto-generated
     # index map of an UNBLOCKED spec returns a weak-i64 constant under x64,
-    # which the Mosaic pass pipeline refuses (func.return i64)
+    # which the Mosaic pass pipeline refuses (func.return i64).  Outputs are
+    # pinned to HBM (pl.ANY with a full block lands in VMEM, whose dynamic
+    # slices must be tile-aligned).
     full = pl.BlockSpec((cap,), lambda i: (np.int32(0),),
-                        memory_space=pl.ANY)
+                        memory_space=pltpu.MemorySpace.HBM)
     kernel = pl.pallas_call(
         _seg_agg_kernel,
         grid=(grid,),
@@ -371,7 +375,7 @@ def seg_agg_sorted_i32(keys_sorted: jnp.ndarray, vals_sorted: jnp.ndarray,
         ],
         out_specs=[
             full, full, full, full, full, full,
-            pl.BlockSpec((1,), lambda i: (np.int32(0),),
+            pl.BlockSpec((grid,), lambda i: (np.int32(0),),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
@@ -381,7 +385,7 @@ def seg_agg_sorted_i32(keys_sorted: jnp.ndarray, vals_sorted: jnp.ndarray,
             jax.ShapeDtypeStruct((cap,), jnp.int32),  # sum lo32
             jax.ShapeDtypeStruct((cap,), jnp.int32),  # min
             jax.ShapeDtypeStruct((cap,), jnp.int32),  # max
-            jax.ShapeDtypeStruct((1,), jnp.int32),    # n_groups
+            jax.ShapeDtypeStruct((grid,), jnp.int32),  # entries per region
         ],
         scratch_shapes=[
             # per-lane 1D output staging; +_W so RMW window stores at
@@ -397,10 +401,19 @@ def seg_agg_sorted_i32(keys_sorted: jnp.ndarray, vals_sorted: jnp.ndarray,
         ],
         interpret=interpret,
     )
-    key_g, cnt_g, shi_g, slo_g, mn_g, mx_g, ng = kernel(
+    key_r, cnt_r, shi_r, slo_r, mn_r, mx_r, counts = kernel(
         keys_sorted, vals_sorted)
-    # drop the dummy lead slot (gid -1); assemble exact int64 sums
-    key_g, cnt_g = key_g[1:], cnt_g[1:]
-    sum64 = (shi_g[1:].astype(jnp.int64) << 32) | (
-        slo_g[1:].astype(jnp.int64) & 0xFFFFFFFF)
-    return key_g, cnt_g, sum64, mn_g[1:], mx_g[1:], ng[0]
+
+    # compact the per-superblock regions with one gather: global entry e
+    # lives in region r at local slot e - starts[r].  Entry 0 is the dummy
+    # lead slot (gid -1, forced by the first-row flag) and is skipped.
+    starts = (jnp.cumsum(counts.astype(jnp.int32)) - counts).astype(jnp.int32)
+    ng = starts[-1] + counts[-1] - 1  # total entries minus the dummy lead
+    e = jnp.arange(1, max_groups + 1, dtype=jnp.int32)
+    r = (jnp.searchsorted(starts, e, side="right", method="scan")
+         .astype(jnp.int32) - 1)
+    src = jnp.clip(r * np.int32(SBW) + (e - starts[r]), 0, cap - 1)
+    key_g, cnt_g = key_r[src], cnt_r[src]
+    sum64 = (shi_r[src].astype(jnp.int64) << 32) | (
+        slo_r[src].astype(jnp.int64) & 0xFFFFFFFF)
+    return key_g, cnt_g, sum64, mn_r[src], mx_r[src], ng
