@@ -10,7 +10,19 @@ reference).  Details for all configs go to stderr and bench_results.json,
 including the achieved effective scan bandwidth and its fraction of the
 per-chip HBM roofline (BASELINE >=80% target).
 
-Usage:  python bench.py [--quick] [--config N] [--rows N] [--xl]
+Crash isolation (round-2 lesson): every workload runs in its OWN subprocess.
+A TPU worker crash / OOM / relay wedge kills one config, the parent waits out
+the relay claim (~5 min) and continues with the rest.  bench_results.json is
+MERGED with the previous run — a failed config keeps its last good number
+(marked stale) instead of erasing it.
+
+Pallas gate: ``--tpu-smoke`` (also run automatically before full benches on
+TPU) asserts filter_agg and seg_agg parity vs an XLA oracle ON THE REAL
+DEVICE; seg_agg only re-enables for the bench run when its smoke passes
+(the engine default quarantines it on TPU, config.use_pallas_seg_agg).
+
+Usage:  python bench.py [--quick] [--only NAME] [--scale F] [--xl]
+        [--tpu-smoke] [--no-smoke] [--child NAME]   (internal)
         --xl adds the 1B-row out-of-core streamed GROUP BY (reference
         README.md:332-334 workload; needs ~20 GB disk for the parquet).
 """
@@ -20,10 +32,11 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
-import numpy as np
+RESULT_SENTINEL = "##BENCH_CHILD_RESULT##"
 
 BASELINES = {
     # reference-published GPU numbers (BASELINE.md)
@@ -35,8 +48,16 @@ BASELINES = {
     "sortmerge": 48.8e6,     # rows/s sort-merge join
 }
 
+CONFIG_ORDER = ["join", "groupby", "filter_agg", "sortmerge", "join_lookup"]
+
+
+# ======================================================================
+# child-side workload implementations (one subprocess each)
+# ======================================================================
 
 def _engine(batch_rows: int, join_expansion: float = 1.25):
+    import numpy as np  # noqa: F401
+
     from gpu_olap_tpu import EngineConfig, OlapEngine
 
     cfg = EngineConfig(
@@ -46,6 +67,12 @@ def _engine(batch_rows: int, join_expansion: float = 1.25):
         min_shape_bucket=1 << 16,
         enable_cache=False,  # measure execution, not the result cache
     )
+    # the parent's --tpu-smoke result gates Pallas per-process
+    if os.environ.get("GPU_OLAP_USE_PALLAS") == "0":
+        cfg.use_pallas = False
+    seg = os.environ.get("GPU_OLAP_SEG_AGG")
+    if seg is not None:
+        cfg.use_pallas_seg_agg = seg == "1"
     return OlapEngine(cfg)
 
 
@@ -91,6 +118,8 @@ def _roofline(res: dict):
 
 def bench_filter_agg(n_rows: int, iters: int):
     """Config 1: scan + filter (x > c) + COUNT/SUM on int64."""
+    import numpy as np
+
     eng = _engine(n_rows)
     rng = np.random.default_rng(0)
     eng.register("t", {
@@ -110,6 +139,8 @@ def bench_filter_agg(n_rows: int, iters: int):
 
 def bench_groupby(n_rows: int, n_groups: int, iters: int):
     """Config 2: high-cardinality GROUP BY SUM/MIN/MAX."""
+    import numpy as np
+
     eng = _engine(n_rows)
     rng = np.random.default_rng(1)
     eng.register("t", {
@@ -118,9 +149,13 @@ def bench_groupby(n_rows: int, n_groups: int, iters: int):
     })
     sql = "SELECT k, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx FROM t GROUP BY k"
     dt, r, ex, by = _time_query(eng, sql, iters)
+    from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
+
     return _roofline({"seconds": dt, "exec_seconds": ex, "exec_bytes": by,
                       "rows": n_rows, "rows_per_sec": n_rows / dt,
-                      "groups": r.num_rows})
+                      "groups": r.num_rows,
+                      "pallas_seg_agg": GLOBAL_METRICS.counters.get(
+                          "pallas_seg_agg_trace", 0) > 0})
 
 
 def bench_groupby_1b(n_rows: int, n_groups: int, iters: int):
@@ -131,6 +166,7 @@ def bench_groupby_1b(n_rows: int, n_groups: int, iters: int):
     measured rate is host->device-link-bound, not compute-bound.  The
     device-compute rate is reported separately by the 100M in-memory config.
     """
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -173,7 +209,11 @@ def bench_join(n_left: int, n_right: int, iters: int):
     (key space = n_right / 2, ~2 duplicates per build key) — defeats the
     unique-build lookup fast path, so the general merge-probe (radix-hash
     analogue) executes.  Rows/s counts l+r like the reference README.md:325."""
-    eng = _engine(max(n_left, n_right), join_expansion=2.6)
+    import numpy as np
+
+    # 2.0x expected match expansion (2 dups/build key) + padding headroom;
+    # round-2's 2.6x over-allocated the match buffer at the 100M shape
+    eng = _engine(max(n_left, n_right), join_expansion=2.2)
     rng = np.random.default_rng(2)
     nkeys = max(n_right // 2, 1)
     eng.register("l", {"k": rng.integers(0, nkeys, n_left).astype(np.int64)})
@@ -193,6 +233,8 @@ def bench_join(n_left: int, n_right: int, iters: int):
 def bench_join_lookup(n_left: int, n_right: int, iters: int):
     """Asymmetric unique-build shape (persistent dense-index lookup join):
     kept alongside the honest config to track the fast path."""
+    import numpy as np
+
     eng = _engine(max(n_left, n_right))
     rng = np.random.default_rng(2)
     lk = rng.integers(0, n_right, n_left).astype(np.int64)
@@ -209,6 +251,8 @@ def bench_join_lookup(n_left: int, n_right: int, iters: int):
 
 def bench_sortmerge(n_left: int, n_right: int, iters: int):
     """Config 4: duplicate-heavy keys (stress the merge/expansion path)."""
+    import numpy as np
+
     eng = _engine(max(n_left, n_right), join_expansion=2.5)
     rng = np.random.default_rng(3)
     # ~4 duplicates per build key (match count ~= 4x probe rows)
@@ -249,29 +293,125 @@ def bench_micro(iters: int = 2000):
     return out
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--quick", action="store_true", help="small sizes (smoke)")
-    ap.add_argument("--micro", action="store_true",
-                    help="parse/optimize micro-benches only (engine_bench.rs)")
-    ap.add_argument("--xl", action="store_true",
-                    help="also run the 1B-row streamed GROUP BY workload")
-    ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--scale", type=float, default=1.0,
-                    help="scale factor on row counts")
-    ap.add_argument("--budget", type=float, default=5400.0,
-                    help="soft time budget (seconds); later configs skipped")
-    args = ap.parse_args()
+def tpu_smoke():
+    """On-hardware Pallas parity gate (VERDICT r2 #4): run filter_agg and
+    seg_agg on the REAL device at >=1M rows and compare against a pure-XLA
+    oracle computed on the same device.  Interpret-mode tests cannot catch
+    Mosaic lowering bugs — this can, and the parent uses it to decide which
+    Pallas kernels the bench children may enable."""
+    import numpy as np
 
-    if args.micro:
-        micro = bench_micro()
-        for k, v in micro.items():
-            print(f"# {k}: {v:.1f} us", file=sys.stderr)
-        print(json.dumps({"metric": "parse_simple_select_us",
-                          "value": round(micro["parse_simple_select"], 2),
-                          "unit": "us", "vs_baseline": 1.0}))
-        return
+    import jax
+    import jax.numpy as jnp
 
+    device = str(jax.devices()[0])
+    on_tpu = jax.default_backend() == "tpu"
+    out = {"device": device, "on_tpu": on_tpu}
+    rng = np.random.default_rng(11)
+
+    # ---- filter_agg ---------------------------------------------------
+    from gpu_olap_tpu.ops.pallas.filter_agg import filter_agg_i32
+
+    n = 1 << 22
+    filt = rng.integers(0, 1000, n).astype(np.int32)
+    val = rng.integers(-1000, 1000, n).astype(np.int32)
+    fd, vd = jnp.asarray(filt), jnp.asarray(val)
+    cnt, per_col = filter_agg_i32(fd, "gt", 500, (vd,), 1, not on_tpu, n,
+                                  ((True, True),))
+    total, mn, mx = per_col[0]
+    m = filt > 500
+    exp_cnt = int(m.sum())
+    ok_f = (int(cnt) == exp_cnt
+            and int(total) == int(val[m].astype(np.int64).sum())
+            and int(mn) == int(val[m].min()) and int(mx) == int(val[m].max()))
+    out["filter_agg_ok"] = bool(ok_f)
+
+    # ---- seg_agg: >= 3 shapes (VERDICT #2 done-criterion) --------------
+    from gpu_olap_tpu.ops.pallas.seg_agg import SB, seg_agg_sorted_i32
+
+    def seg_oracle(k, v):
+        order = np.lexsort((v, k))
+        ks, vs = k[order], v[order]
+        uk, starts = np.unique(ks, return_index=True)
+        ends = np.append(starts[1:], len(ks))
+        cnts = ends - starts
+        sums = np.add.reduceat(vs.astype(np.int64), starts)
+        mns = vs[starts]
+        mxs = vs[ends - 1]
+        return uk, cnts, sums, mns, mxs
+
+    def one_shape(nrows, ngroups, tag):
+        k = rng.integers(0, ngroups, nrows).astype(np.int32)
+        v = rng.integers(-1000, 1000, nrows).astype(np.int32)
+        pad = (-nrows) % SB
+        sk, sv = jax.lax.sort((jnp.asarray(k), jnp.asarray(v)), num_keys=2)
+        if pad:
+            sk = jnp.concatenate(
+                [sk, jnp.full(pad, np.iinfo(np.int32).max, jnp.int32)])
+            sv = jnp.concatenate([sv, jnp.zeros(pad, jnp.int32)])
+        mg = ngroups + 8
+        kg, cg, sg, mng, mxg, ng = seg_agg_sorted_i32(sk, sv, mg, not on_tpu)
+        ng = int(ng) - (1 if pad else 0)
+        uk, cnts, sums, mns, mxs = seg_oracle(k, v)
+        ok = (ng == len(uk)
+              and np.array_equal(np.asarray(kg)[:ng], uk)
+              and np.array_equal(np.asarray(cg)[:ng], cnts)
+              and np.array_equal(np.asarray(sg)[:ng], sums)
+              and np.array_equal(np.asarray(mng)[:ng], mns)
+              and np.array_equal(np.asarray(mxg)[:ng], mxs))
+        out[f"seg_agg_{tag}_ok"] = bool(ok)
+        return ok
+
+    ok_s = one_shape(4 * SB, 1 << 17, "4sb_128k")        # dense groups
+    ok_s &= one_shape(2 * SB + 12345, 64, "pad_64")      # padding + big runs
+    ok_s &= one_shape(SB, SB, "allnew")                  # ~every row new group
+    out["seg_agg_ok"] = bool(ok_s)
+    return out
+
+
+# ======================================================================
+# parent-side orchestration
+# ======================================================================
+
+def _run_child(name: str, args, extra_env=None, timeout=None):
+    """Run one workload in a fresh subprocess; returns (result|None, status).
+    stderr is passed through; the result rides a sentinel line on stdout."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--child", name,
+           "--iters", str(args.iters), "--scale", str(args.scale)]
+    if args.quick:
+        cmd.append("--quick")
+    env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
+    try:
+        proc = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=None,
+                              env=env, timeout=timeout or args.child_timeout)
+    except subprocess.TimeoutExpired:
+        return None, "timeout"
+    result = None
+    for line in proc.stdout.decode(errors="replace").splitlines():
+        if line.startswith(RESULT_SENTINEL):
+            try:
+                result = json.loads(line[len(RESULT_SENTINEL):])
+            except json.JSONDecodeError:
+                pass
+    if proc.returncode != 0:
+        return None, f"exit_{proc.returncode}"
+    if result is None:
+        return None, "no_result"
+    if "error" in result:
+        return None, result["error"]
+    return result, "ok"
+
+
+def _child_main(name: str, args):
+    """Child entry: run ONE workload, emit its result on a sentinel line."""
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # the axon sitecustomize force-registers the TPU platform and ignores
+        # the env var; honor it explicitly (CLAUDE.md gotcha)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.quick:
         sizes = {"filter_agg": 1 << 20, "groupby": (1 << 20, 1 << 14),
                  "join": (1 << 20, 1 << 20), "join_lookup": (1 << 20, 1 << 17),
@@ -287,51 +427,175 @@ def main():
             "sortmerge": (int(25e6 * s), int(25e6 * s)),
             "groupby_1b": (int(1e9 * s), int(4e6 * s)),
         }
-
-    results = {}
-    t0 = time.time()
-    # join first: it is the headline metric; remaining configs run within the
-    # time budget (remote TPU compiles can take many minutes each)
-    plan = [
-        ("join", lambda: bench_join(*sizes["join"], args.iters)),
-        ("groupby", lambda: bench_groupby(*sizes["groupby"], args.iters)),
-        ("filter_agg", lambda: bench_filter_agg(sizes["filter_agg"], args.iters)),
-        ("sortmerge", lambda: bench_sortmerge(*sizes["sortmerge"], args.iters)),
-        ("join_lookup", lambda: bench_join_lookup(*sizes["join_lookup"], args.iters)),
-    ]
-    if args.xl:
-        plan.append(("groupby_1b",
-                     lambda: bench_groupby_1b(*sizes["groupby_1b"], 1)))
-    for name, fn in plan:
-        if results and time.time() - t0 > args.budget:
-            print(f"# skipping {name}: over time budget", file=sys.stderr)
-            continue
-        try:
-            results[name] = fn()
-            print(f"# {name}: {results[name]}", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001 — partial results still reported
-            print(f"# {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
-
-    for name, res in results.items():
-        res["vs_baseline"] = res["rows_per_sec"] / BASELINES[name]
-
+    fns = {
+        "join": lambda: bench_join(*sizes["join"], args.iters),
+        "groupby": lambda: bench_groupby(*sizes["groupby"], args.iters),
+        "filter_agg": lambda: bench_filter_agg(sizes["filter_agg"], args.iters),
+        "sortmerge": lambda: bench_sortmerge(*sizes["sortmerge"], args.iters),
+        "join_lookup": lambda: bench_join_lookup(*sizes["join_lookup"],
+                                                 args.iters),
+        "groupby_1b": lambda: bench_groupby_1b(*sizes["groupby_1b"], 1),
+        "tpu_smoke": tpu_smoke,
+    }
     try:
+        res = fns[name]()
         import jax
 
-        device = str(jax.devices()[0])
-    except Exception:
-        device = "unknown"
-    from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
+        res["device"] = str(jax.devices()[0])
+        from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
 
+        res.setdefault("hbm_roofline_bytes_per_sec",
+                       GLOBAL_METRICS.hbm_bandwidth)
+    except Exception as e:  # noqa: BLE001 — reported to the parent
+        res = {"error": f"{type(e).__name__}: {e}"}
+    print(RESULT_SENTINEL + json.dumps(res, default=str), flush=True)
+
+
+def _merge_results(new_results: dict, statuses: dict, path: str):
+    """Merge into the results file keeping last good numbers for configs
+    that failed THIS run (marked stale) — never clobber history with {}."""
+    prev = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f).get("results", {})
+        except (json.JSONDecodeError, OSError):
+            prev = {}
+    merged = {}
+    for name in set(prev) | set(new_results):
+        if name in new_results:
+            merged[name] = {k: v for k, v in new_results[name].items()
+                            if k != "stale"}
+        else:
+            merged[name] = dict(prev[name])
+            merged[name]["stale"] = True
+            if name in statuses:
+                merged[name]["last_failure"] = statuses[name]
+    return merged
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small sizes (smoke)")
+    ap.add_argument("--micro", action="store_true",
+                    help="parse/optimize micro-benches only (engine_bench.rs)")
+    ap.add_argument("--xl", action="store_true",
+                    help="also run the 1B-row streamed GROUP BY workload")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="scale factor on row counts")
+    ap.add_argument("--budget", type=float, default=5400.0,
+                    help="soft time budget (seconds); later configs skipped")
+    ap.add_argument("--only", type=str, default=None,
+                    help="run a single named config (still subprocess-isolated)")
+    ap.add_argument("--child", type=str, default=None, help="(internal)")
+    ap.add_argument("--child-timeout", type=float, default=2700.0,
+                    help="per-config subprocess timeout (seconds)")
+    ap.add_argument("--cooldown", type=float, default=330.0,
+                    help="wait after a crashed config (TPU relay claim expiry)")
+    ap.add_argument("--tpu-smoke", action="store_true",
+                    help="run only the on-device Pallas parity gate")
+    ap.add_argument("--no-smoke", action="store_true",
+                    help="skip the Pallas parity gate before benches")
+    args = ap.parse_args()
+
+    if args.child:
+        _child_main(args.child, args)
+        return
+
+    if args.micro:
+        micro = bench_micro()
+        for k, v in micro.items():
+            print(f"# {k}: {v:.1f} us", file=sys.stderr)
+        print(json.dumps({"metric": "parse_simple_select_us",
+                          "value": round(micro["parse_simple_select"], 2),
+                          "unit": "us", "vs_baseline": 1.0}))
+        return
+
+    t0 = time.time()
+    on_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
+
+    # ---- Pallas hardware parity gate ---------------------------------
+    smoke = None
+    extra_env = {}
+    if not args.no_smoke and not on_cpu:
+        smoke, status = _run_child("tpu_smoke", args, timeout=1800)
+        print(f"# tpu_smoke: {status} {smoke}", file=sys.stderr)
+        if smoke is not None:
+            with open("tpu_smoke.json", "w") as f:
+                json.dump(smoke, f, indent=2)
+            if not smoke.get("filter_agg_ok", False):
+                print("# WARNING: filter_agg Pallas kernel FAILED hardware "
+                      "parity — disabling Pallas for this run", file=sys.stderr)
+                extra_env["GPU_OLAP_USE_PALLAS"] = "0"
+            if smoke.get("seg_agg_ok", False):
+                extra_env["GPU_OLAP_SEG_AGG"] = "1"  # proven on hardware
+            else:
+                print("# seg_agg Pallas kernel not parity-clean on device — "
+                      "staying on the XLA GROUP BY path", file=sys.stderr)
+                extra_env["GPU_OLAP_SEG_AGG"] = "0"
+        else:
+            # gate itself crashed: quarantine all Pallas, wait out the claim
+            print("# WARNING: tpu_smoke crashed — disabling Pallas, waiting "
+                  f"{args.cooldown:.0f}s for the relay claim", file=sys.stderr)
+            extra_env["GPU_OLAP_USE_PALLAS"] = "0"
+            time.sleep(args.cooldown)
+    if args.tpu_smoke:
+        ok = bool(smoke and smoke.get("filter_agg_ok") and
+                  smoke.get("seg_agg_ok"))
+        print(json.dumps({"metric": "tpu_smoke_pass", "value": float(ok),
+                          "unit": "bool", "vs_baseline": float(ok)}))
+        return
+
+    # ---- workloads, each in its own subprocess ------------------------
+    plan = list(CONFIG_ORDER)
+    if args.xl:
+        plan.append("groupby_1b")
+    if args.only:
+        plan = [args.only]
+
+    results, statuses = {}, {}
+    for name in plan:
+        if results and time.time() - t0 > args.budget:
+            print(f"# skipping {name}: over time budget", file=sys.stderr)
+            statuses[name] = "skipped_budget"
+            continue
+        res, status = _run_child(name, args, extra_env=extra_env)
+        statuses[name] = status
+        if res is not None:
+            res["vs_baseline"] = res["rows_per_sec"] / BASELINES[name]
+            results[name] = res
+            print(f"# {name}: {res}", file=sys.stderr)
+        else:
+            print(f"# {name} FAILED: {status}", file=sys.stderr)
+            if not on_cpu and status != "skipped_budget":
+                # a dead TPU child leaves a relay claim (~5 min): wait it out
+                # so the NEXT config starts on a clean device
+                print(f"# cooling down {args.cooldown:.0f}s (relay claim)",
+                      file=sys.stderr)
+                time.sleep(args.cooldown)
+
+    # quick/scaled runs keep their own history file so a full-scale failure
+    # never falls back to a small-scale number (and vice versa)
+    out_path = ("bench_results_quick.json" if args.quick or args.scale != 1.0
+                else "bench_results.json")
+    merged = _merge_results(results, statuses, out_path)
+    device = next((r.get("device") for r in results.values()
+                   if r.get("device")), "unknown")
+    hbm = next((r.get("hbm_roofline_bytes_per_sec")
+                for r in results.values()
+                if r.get("hbm_roofline_bytes_per_sec")), None)
     payload = {"device": device, "total_seconds": time.time() - t0,
-               "hbm_roofline_bytes_per_sec": GLOBAL_METRICS.hbm_bandwidth,
-               "results": results, "op_metrics": GLOBAL_METRICS.summary()}
-    with open("bench_results.json", "w") as f:
+               "hbm_roofline_bytes_per_sec": hbm,
+               "scale": args.scale, "quick": args.quick,
+               "statuses": statuses, "pallas_env": extra_env,
+               "results": merged}
+    with open(out_path, "w") as f:
         json.dump(payload, f, indent=2, default=str)
-    print(f"# full results -> bench_results.json ({device})", file=sys.stderr)
+    print(f"# full results -> {out_path} ({device})", file=sys.stderr)
 
-    for pick in ("join", "groupby", "filter_agg", "sortmerge", "join_lookup"):
-        if pick in results:
+    for pick in CONFIG_ORDER:
+        if pick in results:  # fresh numbers only — stale ones don't headline
             headline = results[pick]
             break
     else:

@@ -68,6 +68,11 @@ def bench_step(ndev: int, rows_per_dev: int, iters: int, zipf: bool):
     args_d = (shard(lk), shard(np.ones(n, bool)), shard(lv),
               shard(rk), shard(np.ones(n, bool)), shard(rv))
     out = step(*args_d)
+    # an overflowed run drops rows and would report an optimistic rate — fail
+    if bool(np.asarray(out[3])):
+        raise RuntimeError(
+            f"shuffle/join capacity overflow at ndev={ndev} "
+            f"(capacity={capacity}, join_capacity={join_capacity})")
     np.asarray(out[0][:1])  # sync
     best = float("inf")
     for _ in range(iters):

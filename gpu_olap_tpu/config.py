@@ -26,9 +26,15 @@ class EngineConfig:
 
     # --- device execution policy ---
     backend: str = "auto"                     # "auto" | "device" | "cpu" (numpy oracle)
-    # Pallas kernels in the execution path (fused post-sort aggregation,
-    # fused filter+aggregate); interpreted off-TPU. False = pure-XLA lowering.
+    # Pallas kernels in the execution path (fused filter+aggregate, ...);
+    # interpreted off-TPU. False = pure-XLA lowering everywhere.
     use_pallas: bool = True
+    # The fused post-sort GROUP BY kernel (ops/pallas/seg_agg.py) is gated
+    # separately: None = auto (ON in interpret mode where it is exact, OFF on
+    # real TPU — round-2 hardware runs measured wrong results *and* lower
+    # throughput than the XLA post-sort path, micro_seg_agg_tpu.log).  Set
+    # True only to debug the kernel on hardware.
+    use_pallas_seg_agg: Optional[bool] = None
     prefer_float32: bool = False              # use f32 compute for float cols (TPU fast path)
     # Static-shape bucketing: row counts are padded up to the next bucket so that
     # recompiles are bounded (the kernel-cache analogue of codegen.rs:36-47).

@@ -437,6 +437,18 @@ class _Interpreter:
         self.meta = meta
         self.flags: List = []
 
+    def _seg_agg_on(self) -> bool:
+        """Resolve the seg_agg Pallas gate (config.use_pallas_seg_agg):
+        None = auto — engaged only off-TPU (interpret mode, exact); the
+        hardware lowering is quarantined until an on-device parity gate
+        passes (bench.py --tpu-smoke can re-enable per-process)."""
+        flag = self.config.use_pallas_seg_agg
+        if not self.config.use_pallas:
+            return False
+        if flag is None:
+            return jax.default_backend() != "tpu"
+        return bool(flag)
+
     # -- operators -----------------------------------------------------
     def exec(self, plan: P.PhysicalPlan, path: tuple) -> DevBatch:
         if isinstance(plan, P.TpuTableScan):
@@ -1022,7 +1034,7 @@ class _Interpreter:
         row_valid = participates
         group_codes, results, n_groups, overflow = agg_ops.groupby_aggregate(
             keys, row_valid, specs, max_groups, n_rows=left.capacity,
-            allow_pallas=self.config.use_pallas)
+            allow_pallas=self._seg_agg_on())
         self._push_flag(cap_key, overflow)
 
         cols = []
@@ -1081,11 +1093,14 @@ class _Interpreter:
         if not (np.iinfo(np.int32).min < lit < np.iinfo(np.int32).max):
             return None
 
-        batch = self.exec(filt.input, path + (0, 0))
         from ..ops.pallas.filter_agg import MIN_ROWS, filter_agg_i32
 
-        if batch.capacity < MIN_ROWS:
+        # size gate from catalog metadata BEFORE tracing the scan subtree:
+        # a traced-then-abandoned scan would be re-traced by the caller under
+        # a different path and only folded back by XLA CSE
+        if self.table_meta[filt.input.table_name]["capacity"] < MIN_ROWS:
             return None  # tiny inputs: XLA is fine, skip kernel overhead
+        batch = self.exec(filt.input, path + (0, 0))
 
         def _col_ok(e):
             if not isinstance(e, P.ColumnRef) or _np_kind(e.dtype) != "i":
@@ -1213,7 +1228,7 @@ class _Interpreter:
         group_codes, results, n_groups, overflow = agg_ops.groupby_aggregate(
             keys, batch.row_valid, specs, max_groups, n_rows=batch.capacity,
             prefix_rows=batch.prefix_rows,
-            allow_pallas=self.config.use_pallas,
+            allow_pallas=self._seg_agg_on(),
         )
         if plan.group_exprs:
             self._push_flag(cap_key, overflow)
@@ -1300,7 +1315,7 @@ class _Interpreter:
         group_codes, _, n_groups, overflow = agg_ops.groupby_aggregate(
             keys, batch.row_valid, [], max_groups, n_rows=batch.capacity,
             prefix_rows=batch.prefix_rows,
-            allow_pallas=self.config.use_pallas,
+            allow_pallas=self._seg_agg_on(),
         )
         self._push_flag(cap_key, overflow)
         cols = [

@@ -13,11 +13,13 @@ no second XLA reduction over them.
 Single pass, 4 bytes read per row per column, no intermediate mask
 materialization: the speed-of-light shape for BASELINE config 1.
 
-Exactness: block SUM partials are computed on three 12-bit fields of each
-int32 value (lo/mid unsigned, hi sign-carrying) — each field's 64K-row block
-sum fits int32 — and folded into an emulated (hi, lo) int32 pair with
-wrap-around carry detection.  No 64-bit ops run on the VPU (Mosaic has no
-64-bit support); the exact int64 is reassembled outside the kernel.
+Exactness: block SUM partials are computed on a two-field signed 16-bit
+decomposition of each int32 value (``lo = v & 0xFFFF`` unsigned,
+``hi = v >> 16`` sign-carrying) over 2048-rows-per-lane blocks — each lane's
+block sum is bounded by ``2048 * 65535 < 2^31`` so it fits int32 — and folded
+into an emulated (hi, lo) int32 pair with wrap-around carry detection.  No
+64-bit ops run on the VPU (Mosaic has no 64-bit support); the exact int64 is
+reassembled outside the kernel.
 """
 
 from __future__ import annotations

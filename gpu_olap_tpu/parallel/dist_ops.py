@@ -120,7 +120,7 @@ def make_dist_join_groupby_skew(mesh, capacity: int, join_capacity: int,
     heavy_keys = np.asarray(heavy_keys, dtype=np.int64)
 
     in_specs = (P(AXIS),) * 6
-    out_specs = (P(AXIS), tuple(P(AXIS) for _ in agg_funcs), P(AXIS))
+    out_specs = (P(AXIS), tuple(P(AXIS) for _ in agg_funcs), P(AXIS), P())
 
     @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
@@ -129,11 +129,11 @@ def make_dist_join_groupby_skew(mesh, capacity: int, join_capacity: int,
         rheavy = split_by_heavy(rkeys, heavy_keys)
 
         # --- light side: hash shuffle + local join --------------------
-        slk, (slval,), slv, _ = shuffle_rows_local(
+        slk, (slval,), slv, of_l = shuffle_rows_local(
             lkeys, [lval], lvalid & ~lheavy, ndev, capacity)
-        srk, (srval,), srv, _ = shuffle_rows_local(
+        srk, (srval,), srv, of_r = shuffle_rows_local(
             rkeys, [rval], rvalid & ~rheavy, ndev, capacity)
-        li, ri, lo_valid, _t1, _o1, _c1 = join_ops.inner_join(
+        li, ri, lo_valid, _t1, of_j1, _c1 = join_ops.inner_join(
             [(slk, jnp.zeros_like(slv))], slv,
             [(srk, jnp.zeros_like(srv))], srv,
             join_capacity,
@@ -159,7 +159,7 @@ def make_dist_join_groupby_skew(mesh, capacity: int, join_capacity: int,
         hb_valid = jax.lax.all_gather(hb_valid_local, AXIS).reshape(-1)
 
         hp_valid = lvalid & lheavy
-        hi_, ri2, h_valid, _t2, _o2, _c2 = join_ops.inner_join(
+        hi_, ri2, h_valid, _t2, of_j2, _c2 = join_ops.inner_join(
             [(lkeys, jnp.zeros_like(lvalid))], hp_valid,
             [(hb_keys, jnp.zeros_like(hb_valid))], hb_valid,
             join_capacity,
@@ -176,12 +176,16 @@ def make_dist_join_groupby_skew(mesh, capacity: int, join_capacity: int,
         specs = [{"func": f, "values": jval, "valid": None, "distinct": False,
                   "acc_dtype": jnp.int64 if f == "count" else jval.dtype}
                  for f in agg_funcs]
-        group_codes, results, n_groups, _ = agg_ops.groupby_aggregate(
+        group_codes, results, n_groups, of_g = agg_ops.groupby_aggregate(
             [(jkey, jnp.zeros_like(jvalid))], jvalid, specs, max_groups,
             n_rows=jkey.shape[0],
         )
         gvalid = jnp.arange(max_groups) < n_groups
-        return group_codes[0][0], tuple(r[0] for r in results), gvalid
+        # any-device capacity overflow, replicated: callers MUST check it —
+        # an overflowed shuffle/join silently drops rows (ADVICE r2)
+        of = (of_l | of_r | of_j1 | of_j2 | of_g).astype(jnp.int32)
+        overflow = jax.lax.pmax(of, AXIS) > 0
+        return group_codes[0][0], tuple(r[0] for r in results), gvalid, overflow
 
     return jax.jit(_step)
 
@@ -193,18 +197,21 @@ def make_dist_join_groupby(mesh, capacity: int, join_capacity: int,
     one shard_map program so XLA overlaps all-to-all with local compute.
 
     fn(lkeys, lvalid, lval, rkeys, rvalid, rval) ->
-    (gkeys, [aggs...], gvalid) — grouped by join key."""
+    (gkeys, [aggs...], gvalid, overflow) — grouped by join key.  ``overflow``
+    is a replicated bool: True when ANY device overflowed a shuffle bucket,
+    the join match buffer, or the group table — results are then incomplete
+    and the caller must retry with a larger capacity (or fail)."""
     ndev = mesh.devices.size
 
     in_specs = (P(AXIS),) * 6
-    out_specs = (P(AXIS), tuple(P(AXIS) for _ in agg_funcs), P(AXIS))
+    out_specs = (P(AXIS), tuple(P(AXIS) for _ in agg_funcs), P(AXIS), P())
 
     @functools.partial(shard_map, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
     def _step(lkeys, lvalid, lval, rkeys, rvalid, rval):
-        slk, (slval,), slv, _ = shuffle_rows_local(lkeys, [lval], lvalid, ndev, capacity)
-        srk, (srval,), srv, _ = shuffle_rows_local(rkeys, [rval], rvalid, ndev, capacity)
-        li, ri, out_valid, total, _of, _cnt = join_ops.inner_join(
+        slk, (slval,), slv, of_l = shuffle_rows_local(lkeys, [lval], lvalid, ndev, capacity)
+        srk, (srval,), srv, of_r = shuffle_rows_local(rkeys, [rval], rvalid, ndev, capacity)
+        li, ri, out_valid, total, of_j, _cnt = join_ops.inner_join(
             [(slk, jnp.zeros_like(slv))], slv,
             [(srk, jnp.zeros_like(srv))], srv,
             join_capacity,
@@ -216,11 +223,13 @@ def make_dist_join_groupby(mesh, capacity: int, join_capacity: int,
         specs = [{"func": f, "values": jval, "valid": None, "distinct": False,
                   "acc_dtype": jnp.int64 if f == "count" else jval.dtype}
                  for f in agg_funcs]
-        group_codes, results, n_groups, _ = agg_ops.groupby_aggregate(
+        group_codes, results, n_groups, of_g = agg_ops.groupby_aggregate(
             [(jkey, jnp.zeros_like(out_valid))], out_valid, specs, max_groups,
             n_rows=jkey.shape[0],
         )
         gvalid = jnp.arange(max_groups) < n_groups
-        return group_codes[0][0], tuple(r[0] for r in results), gvalid
+        of = (of_l | of_r | of_j | of_g).astype(jnp.int32)
+        overflow = jax.lax.pmax(of, AXIS) > 0
+        return group_codes[0][0], tuple(r[0] for r in results), gvalid, overflow
 
     return jax.jit(_step)

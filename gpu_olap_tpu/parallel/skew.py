@@ -45,7 +45,13 @@ def recommend_capacity(hist: np.ndarray, ndev: int = 1,
     it: bucket peak ~= hist_peak / ndev.  Sizing buckets at the full
     hist_peak (the round-1 bug) made every receive buffer ndev-times
     oversized — per-device local work then never shrank with the mesh and
-    scaling efficiency collapsed."""
+    scaling efficiency collapsed.
+
+    Assumes placement of rows across source shards is ~uniform per key
+    (true for hash/round-robin sharded inputs).  If rows are clustered by
+    key across shards, one source bucket can hold up to the full hist_peak
+    — callers must check the shuffle overflow flag (the engine path retries
+    with doubled capacity; benches must FAIL, not report)."""
     peak = int(np.max(np.asarray(hist))) if len(hist) else 1
     cap = int(peak * headroom / max(ndev, 1)) + 1
     return ((cap + align - 1) // align) * align

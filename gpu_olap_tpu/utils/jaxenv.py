@@ -16,6 +16,17 @@ def ensure_jax():
     import jax
 
     if not _READY:
+        import os
+
+        plats = os.environ.get("JAX_PLATFORMS")
+        if plats:
+            # the axon sitecustomize force-registers its TPU platform and
+            # clobbers JAX_PLATFORMS; honor the user's env var explicitly so
+            # JAX_PLATFORMS=cpu runs never touch the TPU relay
+            try:
+                jax.config.update("jax_platforms", plats)
+            except Exception:
+                pass
         jax.config.update("jax_enable_x64", True)
         # persistent compilation cache: TPU compiles through the remote
         # tunnel take minutes; cache them across processes

@@ -112,6 +112,10 @@ def build(ndev, n_total, iters):
     t_shuf = timeit(shuffle_only, *args, iters=iters)
     mid = jax.block_until_ready(shuffle_only(*args))
     t_local = timeit(local_only, *mid, iters=iters)
+    # fail instead of profiling an overflowed (row-dropping) configuration
+    if bool(np.asarray(fused(*args)[3])):
+        raise RuntimeError(f"shuffle/join overflow at ndev={ndev} "
+                           f"(capacity={capacity})")
     t_fused = timeit(fused, *args, iters=iters)
 
     # bytes over the wire per device per direction (keys+val+payload int64)

@@ -128,10 +128,11 @@ def test_dist_join_groupby_step(mesh8):
         mesh8, capacity=2048, join_capacity=65536, max_groups=256,
         agg_funcs=("sum", "count"),
     )
-    gk, (s, c), gvalid = fn(
+    gk, (s, c), gvalid, overflow = fn(
         _shard(mesh8, lk), _shard(mesh8, np.ones(nl, bool)), _shard(mesh8, lv),
         _shard(mesh8, rk), _shard(mesh8, np.ones(nr, bool)), _shard(mesh8, rv),
     )
+    assert not bool(np.asarray(overflow))
     gk, s, c, gvalid = map(np.asarray, (gk, s, c, gvalid))
     got = pd.DataFrame({"k": gk[gvalid], "s": s[gvalid], "c": c[gvalid]}) \
         .sort_values("k").reset_index(drop=True)
@@ -180,10 +181,11 @@ def test_skew_hybrid_join_groupby(mesh8):
         mesh8, capacity=2048, join_capacity=65536, max_groups=256,
         agg_funcs=("sum", "count"), heavy_keys=heavy, heavy_build_cap=64,
     )
-    gk, (s, c), gvalid = fn(
+    gk, (s, c), gvalid, overflow = fn(
         _shard(mesh8, lk), _shard(mesh8, np.ones(n, bool)), _shard(mesh8, lv),
         _shard(mesh8, rk), _shard(mesh8, np.ones(rk.shape[0], bool)), _shard(mesh8, rv),
     )
+    assert not bool(np.asarray(overflow))
     gk, s, c, gvalid = map(np.asarray, (gk, s, c, gvalid))
     got = (pd.DataFrame({"k": gk[gvalid], "s": s[gvalid], "c": c[gvalid]})
            .groupby("k").sum().reset_index())  # host merge of heavy partials
@@ -194,3 +196,45 @@ def test_skew_hybrid_join_groupby(mesh8):
     assert got.k.tolist() == exp.k.tolist()
     assert got.s.tolist() == exp.s.tolist()
     assert got.c.tolist() == exp.c.tolist()
+
+
+def test_shuffle_volume_scales_inverse_ndev():
+    """CI pin for the round-1 scaling-collapse class of bug (DIST_ANALYSIS.md):
+    with a fixed TOTAL table, per-device receive volume (ndev * bucket
+    capacity) must shrink ~1/ndev as the mesh grows.  Sizing buckets from the
+    full-table histogram peak WITHOUT dividing by ndev (the round-1 bug) makes
+    recv rows/device constant — this test fails loudly in that case."""
+    total = 1 << 17
+    rng = np.random.default_rng(7)
+    keys = jnp.asarray(rng.integers(0, total // 16, total).astype(np.int64))
+
+    recv_per_dev = {}
+    for ndev in (2, 4, 8):
+        hist = np.asarray(skew.partition_histogram(keys, ndev))
+        cap = skew.recommend_capacity(hist, ndev, headroom=1.25)
+        recv_per_dev[ndev] = ndev * cap
+
+    # 2 -> 8 devices must cut per-device receive volume by ~4x (allow 30%
+    # slack for histogram imbalance + alignment rounding); the broken sizing
+    # yields a ratio of ~1.0 and fails by an order of magnitude
+    ratio = recv_per_dev[2] / recv_per_dev[8]
+    assert ratio > 2.8, f"recv rows/device not scaling 1/ndev: {recv_per_dev}"
+    # and monotone decreasing across the sweep
+    assert recv_per_dev[2] > recv_per_dev[4] > recv_per_dev[8], recv_per_dev
+
+
+def test_dist_step_overflow_flag_reports(mesh8):
+    """The fused join+group-by step must surface capacity overflow instead of
+    silently dropping rows (ADVICE r2: benches previously discarded it)."""
+    n = 8 * 512
+    keys = np.zeros(n, dtype=np.int64)  # every row hashes to one device
+    vals = np.ones(n, dtype=np.int64)
+    fn = dist_ops.make_dist_join_groupby(
+        mesh8, capacity=64, join_capacity=4096, max_groups=64,
+        agg_funcs=("sum",),
+    )
+    out = fn(_shard(mesh8, keys), _shard(mesh8, np.ones(n, bool)),
+             _shard(mesh8, vals),
+             _shard(mesh8, keys), _shard(mesh8, np.ones(n, bool)),
+             _shard(mesh8, vals))
+    assert bool(np.asarray(out[3]))
