@@ -1,35 +1,42 @@
-"""Pallas TPU kernel: post-sort segmented aggregation (the group-by hot path).
+"""Pallas TPU kernel: post-sort segmented aggregation (the GROUP BY hot path).
 
 The reference's CUDA hash aggregate is an atomicAdd shared-memory table
 (``join_kernels.cuh:216-240``, ``aggregate_kernel.rs:1-8``).  The TPU engine
-first sorts (key, value) with ``lax.sort`` — that part is near XLA's floor —
-but the XLA *post-sort* pipeline (run flags, group-id cumsum, a second
-boundary-compaction sort, per-aggregate 64-bit cumsums, boundary gathers)
-costs ~5x the sort itself.  This kernel replaces all of it with ONE pass over
-the sorted lanes:
+first sorts (key, value) with ``lax.sort`` — near XLA's floor — but the XLA
+*post-sort* pipeline (run flags, group-id cumsum, a second boundary-compaction
+sort, emulated-64-bit cumsums, boundary gathers) costs 3-5x the sort itself.
+This kernel replaces all of it with ONE streaming pass over the sorted lanes.
 
-* the sequential TPU grid walks superblocks of ``SB`` rows; inside, chunks of
-  ``CHUNK`` rows are processed with vector ops;
-* per chunk, segment membership one-hot matrices hit the MXU:
-  COUNT/SUM partials via membership @ 12-bit value splits (each partial
-  <= 2^21 so f32 accumulation is exact), group key / MIN / MAX via one-hot
-  boundary gathers of 16-bit splits (single product, exact);
-* MIN/MAX exploit the ride-the-sort invariant (value is the second sort key,
-  so within a group values ascend: min = first row, max = last row);
-* the group whose run spans a chunk/superblock boundary is carried in 64-bit
-  emulated (hi, lo) int32 pairs with wrap-around carry detection — no 64-bit
-  VPU ops;
-* each group's outputs are written exactly once, when its run ends, into a
-  VMEM staging window that is DMA'd to HBM once per superblock.
+Design (round 3 — full rewrite of the round-2 kernel, which measured wrong
+results AND lower throughput on real TPU):
 
-Reads 8 bytes per row, writes ~6 x 4 bytes per group.  Padding rows must be
-pre-masked to key = INT32_MAX (they sort last and form one trailing sentinel
-group the caller drops).
+* the sequential TPU grid walks blocks of ``SB`` = 2048 rows, kept as
+  (16, 128) tiles in row-major order;
+* every aggregate is *additive* under the ride-the-sort invariant (values
+  ascend within a group): key and MIN contribute only at a group's first row,
+  MAX only at its last, COUNT/SUM as block-local segment totals — so each
+  output slot is a sum of disjoint single contributions and partial sums, and
+  group ranks are monotone, which makes the output a stream;
+* per block, boundary rows are routed to their group-rank slots by a 12-stage
+  LSB-first butterfly (bit-serial left shifts).  Monotone rank targets make
+  the routing collision-free (Nassimi-Sahni self-routing; verified by
+  exhaustive simulation) — no scatter, no gather, no atomics;
+* per-slot COUNT/SUM fall out of routed *exclusive prefix sums* diffed
+  against their left neighbor; the still-open group at a block's end is
+  closed virtually each block (block totals), so spans of any length
+  accumulate exactly;
+* 64-bit SUM is carried as (hi, lo) int32 pairs with unsigned-wrap carry
+  detection — no 64-bit VPU ops;
+* finished slots accumulate in a VMEM staging window and are DMA'd to HBM
+  2048 groups at a time; the open group's slot never flushes early.
+
+Reads 8 bytes per row once; writes 24 bytes per group once (output HBM is
+O(max_groups), not O(rows)).  Padding rows must be pre-masked to
+key = INT32_MAX (they sort last and form one trailing sentinel group the
+caller drops).
 """
 
 from __future__ import annotations
-
-import functools
 
 from ...utils.jaxenv import ensure_jax
 
@@ -39,13 +46,24 @@ import numpy as np  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
-CHUNK = 512                 # rows per inner iteration (one-hot tile edge)
-CPS = 64                    # chunks per superblock (grid step)
-SB = CHUNK * CPS            # rows per grid step
-SBW = SB + 2 * CHUNK        # staging/DMA window: SB flags + spanning group,
-                            # rounded to a 1024 tile multiple (33 x 1024)
+from .routing import _sum_i32  # noqa: E402
+
+LANES = 128
+RIN = 16                    # input sublane rows per grid step
+SB = RIN * LANES            # 2048 rows per grid step
+DR = 18                     # routing domain rows (2304 slots: 2 pad + 16)
+NSLOT = DR * LANES
+SR = 34                     # staging rows (4352 slots)
+FLUSH = 16                  # staging rows per HBM flush (2048 groups)
+STAGES = 12                 # butterfly stages (max delta 2303 < 2^12)
 
 _I32_MIN = np.int32(np.iinfo(np.int32).min)
+
+
+def _c(v):
+    """int32-typed constant: under x64 bare Python ints trace as weak i64,
+    and Mosaic's int64 convert rule recurses infinitely on TPU."""
+    return np.int32(v)
 
 
 def _u_lt(a, b):
@@ -55,290 +73,261 @@ def _u_lt(a, b):
 
 def _add64(hi1, lo1, hi2, lo2):
     """(hi1,lo1) + (hi2,lo2) as emulated int64 over int32 pairs (wrapping
-    low add + unsigned carry detection).  Works element-wise or on scalars."""
+    low add + unsigned carry detection).  Element-wise or scalar."""
     lo = lo1 + lo2
-    carry = _u_lt(lo, lo1).astype(jnp.int32)
+    carry = _u_lt(lo, lo2).astype(jnp.int32)
     return hi1 + hi2 + carry, lo
 
 
 def _split64(hi_small, shift):
     """(value << shift) of a small int32 as a (hi, lo) int32 pair."""
-
-    def f(v):
-        if shift == 0:
-            return (v >> 31), v  # sign-extend
-        return (v >> (32 - shift)), (v << shift)
-
-    return f(hi_small)
+    if shift == 0:
+        return (hi_small >> np.int32(31)), hi_small  # sign-extend
+    return (hi_small >> np.int32(32 - shift)), (hi_small << np.int32(shift))
 
 
-def _roll1d(x, shift):
-    """Wrapping roll of a 1D vector.  Mosaic's ``tpu.dynamic_rotate`` only
-    lowers for >=2D shapes, so roll a (1, n) view along axis 1."""
-    n = x.shape[0]
-    return pltpu.roll(x.reshape(1, n), shift, 1).reshape(n)
+def _lane_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
 
 
-def _prefix_sum_i32(x):
-    """Inclusive prefix sum of an int32 vector — log-step shift-adds
-    (``cumsum`` has no Pallas TPU lowering)."""
-    n = x.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    d = 1
-    while d < n:
-        sh = _roll1d(x, np.int32(d))  # sh[i] = x[i - d] (wrapping)
-        x = x + jnp.where(iota >= np.int32(d), sh, np.int32(0))
-        d *= 2
-    return x
+def _sub_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
 
 
-def _sum_i32(vec_i32):
-    """Scalar int32 sum of a vector.  Reduce a (1, n) view over axis 1 so the
-    output aval is (1,): Mosaic's scalar-reduce lowering wraps the op in a
-    proxy that re-enters ``jnp.sum`` WITHOUT the dtype override, and under
-    x64 that promotes int32 -> int64, which Mosaic cannot lower."""
-    n = vec_i32.shape[0]
-    return jnp.sum(vec_i32.reshape(1, n), axis=1, dtype=jnp.int32)[0]
+def _pos_iota(rows):
+    """Row-major slot index over a (rows, 128) tile."""
+    s = (rows, LANES)
+    return _sub_iota(s) * LANES + _lane_iota(s)
 
 
-def _onehot_extract(vec_i32, idx):
-    """vec[idx] via a masked integer reduction (no dynamic vector indexing)."""
-    n = vec_i32.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
-    return _sum_i32(jnp.where(iota == idx, vec_i32, np.int32(0)))
+def _shift_left(x, s):
+    """Row-major left shift: out[i] = x[i + s] (wrap at the tail — callers
+    mask).  Lane part + row-crossing fix, then sublane part."""
+    rows = x.shape[0]
+    ls, rs = s % LANES, s // LANES
+    y = x
+    if ls:
+        y = pltpu.roll(y, np.int32(LANES - ls), 1)
+        yb = pltpu.roll(y, np.int32(rows - 1), 0)
+        y = jnp.where(_lane_iota(x.shape) < _c(LANES - ls), y, yb)
+    if rs:
+        y = pltpu.roll(y, np.int32(rows - rs), 0)
+    return y
 
 
-#: RMW window width for dynamic-offset stores: loads/stores must sit at
-#: 1024-aligned (8x128 int32 tile) offsets, so a CHUNK-wide write at an
-#: arbitrary offset becomes a masked merge into a 2-tile aligned window.
-_W = 2048
+def _shift_right1(x, fill00):
+    """Row-major right shift by one: out[i] = x[i-1], out[0] = fill00."""
+    yl = pltpu.roll(x, np.int32(1), 1)                 # out[r, c] = x[r, c-1 mod 128]
+    yb = pltpu.roll(yl, np.int32(1), 0)                # out[r, 0] = x[r-1, 127]
+    lane = _lane_iota(x.shape)
+    y = jnp.where(lane == _c(0), yb, yl)
+    pos = _pos_iota(x.shape[0])
+    return jnp.where(pos == _c(0), fill00, y)
 
 
-def _store_window(ref, off, vec):
-    """``ref[off:off+CHUNK] = vec`` for an arbitrary traced ``off`` into a 1D
-    staging buffer (one buffer per output lane: slicing a lane out of a 2D
-    scratch violates the 8-sublane tiling for DMA sources).
-
-    Mosaic vector stores require tile-aligned (1024 int32) dynamic offsets;
-    this reads the aligned ``_W``-wide window covering the target range,
-    rotates ``vec`` into position (tpu.dynamic_rotate), merges under a mask,
-    and stores the window back."""
-    base = pl.multiple_of((off // np.int32(1024)) * np.int32(1024), 1024)
-    place = off - base  # 0..1023
-    # all vector work in (1, n) 2D space: Mosaic's 1D concatenate rejects
-    # non-tile-aligned part offsets and 1D dynamic_rotate has no lowering
-    w = ref[pl.ds(base, _W)].reshape(1, _W)
-    padded = jnp.concatenate(
-        [vec.reshape(1, CHUNK), jnp.zeros((1, _W - CHUNK), vec.dtype)], axis=1)
-    rotated = pltpu.roll(padded, place, 1)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, _W), 1)
-    mask = (iota_w >= place) & (iota_w < place + np.int32(CHUNK))
-    ref[pl.ds(base, _W)] = jnp.where(mask, rotated, w).reshape(_W)
+def _cumsum_flat(x):
+    """Row-major inclusive prefix sum over a (rows, 128) int32 tile:
+    7 lane-doubling steps + sublane-doubling row offsets."""
+    lane = _lane_iota(x.shape)
+    y = x
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        y = y + jnp.where(lane >= _c(k), pltpu.roll(y, np.int32(k), 1), _c(0))
+    rt = y[:, LANES - 1:LANES]               # (rows, 1) row totals
+    sub = _sub_iota(rt.shape)
+    z = rt
+    k = 1
+    while k < x.shape[0]:
+        z = z + jnp.where(sub >= _c(k), pltpu.roll(z, np.int32(k), 0), _c(0))
+        k *= 2
+    return y + (z - rt)                      # add exclusive row offsets
 
 
-def _seg_agg_kernel(keys_ref, vals_ref,
-                    key_out, cnt_out, shi_out, slo_out, mn_out, mx_out,
-                    counts_out,
-                    st_key, st_cnt, st_shi, st_slo, st_mn, st_mx,
-                    smem, sems):
-    """One superblock.  Superblock ``i`` DMAs its finalized groups to its OWN
-    aligned region ``out[i*SBW : (i+1)*SBW]`` and records how many in
-    ``counts_out[i]`` — HBM DMA destinations must sit at provably
-    1024-tile-aligned offsets, so a running global offset cannot be used;
-    one cheap XLA gather compacts the regions afterwards.
+def _route(d, streams):
+    """LSB-first butterfly: elements (occupied slots, d >= 0) move left by
+    their remaining delta, bit-serially.  Monotone targets => collision-free.
+    Vacated slots become 0 / -1; wrap-ins from the tail are masked."""
+    pos = _pos_iota(DR)
+    for k in range(STAGES):
+        b = 1 << k
+        mover = (d >= _c(0)) & ((d & _c(b)) != _c(0))
+        src_ok = pos < _c(NSLOT - b)
+        inc = _shift_left(mover.astype(jnp.int32), b)
+        inc = (inc != _c(0)) & src_ok
+        d_in = _shift_left(d, b) - _c(b)
+        d = jnp.where(inc, d_in, jnp.where(mover, _c(-1), d))
+        out = []
+        for s_ in streams:
+            sh = _shift_left(s_, b)
+            out.append(jnp.where(inc, sh, jnp.where(mover, _c(0), s_)))
+        streams = out
+    return streams
 
-    smem layout (int32):
-    1: open_cnt   2: open_sum_hi  3: open_sum_lo
-    4: open_min   5: open_max     6: open_key
-    7: prev_key   8: prev_val     (last row of the previous superblock)
-    """
+
+def _pad2(x):
+    """Prepend two zero sublane rows: (16,128) -> (18,128)."""
+    return jnp.concatenate([jnp.zeros((2, LANES), jnp.int32), x], axis=0)
+
+
+def _seg_agg_kernel(sk_ref, sv_ref,
+                    okey, ocnt, oslo, oshi, omin, omax, ong,
+                    g_key, g_cnt, g_slo, g_shi, g_min, g_max,
+                    scal, sems):
     i = pl.program_id(0)
-    last = pl.num_programs(0) - 1
+    nsteps = pl.num_programs(0)
+    cap_rows = okey.shape[0]
+    first = i == _c(0)
 
-    @pl.when(i == 0)
+    @pl.when(first)
     def _():
-        for s in range(9):
-            smem[s] = 0
+        for g in (g_key, g_cnt, g_slo, g_shi, g_min, g_max):
+            g[...] = jnp.zeros((SR, LANES), jnp.int32)
+        scal[0] = _c(0)   # f: staging fill in slots (incl. the open group)
+        scal[1] = _c(0)   # groups flushed to HBM
+        scal[2] = _c(0)   # carried last key
+        scal[3] = _c(0)   # carried last value
 
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK,), 0)
-    # membership column ids: column s holds segment s+1
-    seg_cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0) + 1
+    f = scal[0]
+    gw = scal[1]
+    ck = scal[2]
+    csv = scal[3]
 
-    def lead0(scalar, rolled):
-        return jnp.where(iota_c == 0, scalar, rolled)
+    sk = sk_ref[...]
+    sv = sv_ref[...]
+    pos16 = _pos_iota(RIN)
 
-    def half_chunk(k, v, kp, vp, is_first, carry):
-        (ocnt, oshi, oslo, omin, omax, okey, olocal) = carry
-        flags = k != kp
-        if is_first is not None:
-            flags = flags | ((iota_c == 0) & is_first)
-        seg = _prefix_sum_i32(flags.astype(jnp.int32))     # 0..CHUNK
-        nloc = _onehot_extract(seg, CHUNK - 1)             # flags in chunk
+    # ---- boundaries + block-local ranks -------------------------------
+    prev_k = _shift_right1(sk, ck)
+    m32 = (sk != prev_k).astype(jnp.int32)
+    # bool-valued selects lower to an i8->i1 trunc Mosaic rejects: stay int32
+    m32 = jnp.where((pos16 == _c(0)) & first, _c(1), m32)
+    m = m32 != _c(0)
+    incl = _cumsum_flat(m32)                 # 1-based rank among boundaries
+    # dtype pinned: under x64 jnp.sum(int32) promotes to int64, which
+    # breaks the wrap-dependent pair arithmetic (and Mosaic SMEM stores)
+    d_blk = _sum_i32(m32)                    # groups starting in this block
 
-        # -- open-run (segment 0) partials fold into the carry ------------
-        m0 = seg == 0
-        cnt0 = _sum_i32(m0.astype(jnp.int32))
-        s0_lo = _sum_i32(jnp.where(m0, v & 0xFFF, np.int32(0)))
-        s0_md = _sum_i32(jnp.where(m0, (v >> 12) & 0xFFF, np.int32(0)))
-        s0_hi = _sum_i32(jnp.where(m0, v >> 24, np.int32(0)))
-        ocnt = ocnt + cnt0
-        ahi, alo = _split64(s0_md, 12)
-        bhi, blo = _split64(s0_hi, 24)
-        oshi, oslo = _add64(oshi, oslo, 0, s0_lo)
-        oshi, oslo = _add64(oshi, oslo, ahi, alo)
-        oshi, oslo = _add64(oshi, oslo, bhi, blo)
-        omax = _onehot_extract(v, CHUNK - 1)               # ascending in-group
+    # ---- block-local exclusive prefix sums of the value splits --------
+    lo16 = sv & _c(0xFFFF)
+    hi16 = sv >> _c(16)
+    clo = _cumsum_flat(lo16) - lo16          # exclusive
+    chi = _cumsum_flat(hi16) - hi16
+    tot_lo = _sum_i32(lo16)                  # <= 2048*65535, exact
+    tot_hi = _sum_i32(hi16)
 
-        # -- per-segment partials on the MXU ------------------------------
-        # (bool->f32 via where: Mosaic has no direct bool->float convert)
-        # M_T[s, j] = row j belongs to segment s+1
-        m_t = jnp.where(seg_cols == seg[None, :],
-                        jnp.float32(1.0), jnp.float32(0.0))
-        # GS_T[s, j] = row j STARTS segment s+1 (one-hot row)
-        gs_t = m_t * jnp.where(flags[None, :],
-                               jnp.float32(1.0), jnp.float32(0.0))
+    # ---- routing targets ----------------------------------------------
+    # staging slot of rank w (0-based) is f + w; routed relative to sublane
+    # row fr with relf in [1, 128] so the w=0 prev-slot (relf-1) stays >= 0
+    fr = jnp.maximum(f - _c(1), _c(0)) // _c(LANES)
+    relf = f - fr * _c(LANES)
+    tgt = relf + incl - _c(1)                    # boundary rows only
+    delta = (pos16 + _c(2 * LANES)) - tgt
+    d_arr = jnp.concatenate([jnp.full((2, LANES), -1, jnp.int32),
+                             jnp.where(m, delta, _c(-1))], axis=0)
 
-        p_sum = jnp.stack([
-            (v & 0xFFF).astype(jnp.float32),
-            ((v >> 12) & 0xFFF).astype(jnp.float32),
-            (v >> 24).astype(jnp.float32),
-            jnp.ones((CHUNK,), jnp.float32),
-        ], axis=1)
-        r_sum = jnp.dot(m_t, p_sum, preferred_element_type=jnp.float32)
+    prev_v = _shift_right1(sv, csv)
+    # the very first boundary of the whole input closes nothing
+    pz = jnp.logical_not((pos16 == _c(0)) & first)
+    pz32 = pz.astype(jnp.int32)
 
-        p_gth = jnp.stack([
-            (k & 0xFFFF).astype(jnp.float32),
-            ((k >> 16) & 0xFFFF).astype(jnp.float32),
-            (v & 0xFFFF).astype(jnp.float32),
-            ((v >> 16) & 0xFFFF).astype(jnp.float32),
-            (vp & 0xFFFF).astype(jnp.float32),
-            ((vp >> 16) & 0xFFFF).astype(jnp.float32),
-        ], axis=1)
-        r_gth = jnp.dot(gs_t, p_gth, preferred_element_type=jnp.float32)
+    def lift(x):
+        return _pad2(jnp.where(m, x, _c(0)))
 
-        def merge16(lo_f, hi_f):
-            return lo_f.astype(jnp.int32) | (hi_f.astype(jnp.int32) << 16)
+    rkey, rmin, rpv, ridx, rclo, rchi = _route(d_arr, [
+        lift(sk), lift(sv),
+        lift(prev_v * pz32), lift((pos16 - _c(1)) * pz32),
+        lift(clo * pz32), lift(chi * pz32),
+    ])
 
-        seg_cnt = r_sum[:, 3].astype(jnp.int32)
-        seg_shi, seg_slo = _add64(
-            *_split64(r_sum[:, 1].astype(jnp.int32), 12),
-            *_split64(r_sum[:, 2].astype(jnp.int32), 24))
-        seg_shi, seg_slo = _add64(seg_shi, seg_slo,
-                                  0, r_sum[:, 0].astype(jnp.int32))
-        seg_key = merge16(r_gth[:, 0], r_gth[:, 1])
-        seg_min = merge16(r_gth[:, 2], r_gth[:, 3])
-        # max of segment s = value on the row BEFORE segment s+1 starts;
-        # index s of r_gth(prev lanes) is exactly that for the slot layout
-        seg_maxprev = merge16(r_gth[:, 4], r_gth[:, 5])
+    # ---- per-slot contributions in routed space ------------------------
+    rel18 = _pos_iota(DR)
+    open_slot = relf + d_blk - _c(1)             # the group still open at block end
+    start = jnp.maximum(relf - _c(1), _c(0))         # first closed slot
+    occ_open = rel18 == open_slot
+    occ_closed = (rel18 >= start) & (rel18 < open_slot)
+    occ = occ_closed | occ_open
 
-        # -- window vectors: slot 0 = finalized open group, slot s>=1 =
-        #    segment s (slots > nloc are garbage, overwritten later) -------
-        @pl.when(nloc > 0)
-        def _():
-            one = np.int32(1)
-            w_cnt = lead0(ocnt, _roll1d(seg_cnt, one))
-            w_shi = lead0(oshi, _roll1d(seg_shi, one))
-            w_slo = lead0(oslo, _roll1d(seg_slo, one))
-            w_key = lead0(okey, _roll1d(seg_key, one))
-            w_min = lead0(omin, _roll1d(seg_min, one))
-            # max lane is NOT rolled: seg_maxprev[s] is already segment s's
-            # max (prev-row value where segment s+1 starts), unlike the other
-            # lanes where index s holds segment s+1; slot 0 (the finalized
-            # open run = segment 0) is seg_maxprev[0] itself
-            w_max = seg_maxprev
-            _store_window(st_key, olocal, w_key)
-            _store_window(st_cnt, olocal, w_cnt)
-            _store_window(st_shi, olocal, w_shi)
-            _store_window(st_slo, olocal, w_slo)
-            _store_window(st_mn, olocal, w_min)
-            _store_window(st_mx, olocal, w_max)
+    # prev-streams describe slot (rank-1): shift left by one, then extend
+    # with the virtual close of the open group at the block's end
+    r_ext = jnp.where(occ_open, _c(SB - 1), _shift_left(ridx, 1))
+    clo_x = jnp.where(occ_open, tot_lo, _shift_left(rclo, 1))
+    chi_x = jnp.where(occ_open, tot_hi, _shift_left(rchi, 1))
+    maxc = jnp.where(occ_closed, _shift_left(rpv, 1), _c(0))
 
-        # -- new open group = last segment of the chunk --------------------
-        sel = nloc - 1
-        ocnt = jnp.where(nloc > 0, _onehot_extract(seg_cnt, sel), ocnt)
-        oshi = jnp.where(nloc > 0, _onehot_extract(seg_shi, sel), oshi)
-        oslo = jnp.where(nloc > 0, _onehot_extract(seg_slo, sel), oslo)
-        okey = jnp.where(nloc > 0, _onehot_extract(seg_key, sel), okey)
-        omin = jnp.where(nloc > 0, _onehot_extract(seg_min, sel), omin)
-        return (ocnt, oshi, oslo, omin, omax, okey, olocal + nloc)
+    at_start = rel18 == start
+    r_left = jnp.where(at_start, _c(-1), _shift_right1(r_ext, _c(0)))
+    clo_l = jnp.where(at_start, _c(0), _shift_right1(clo_x, _c(0)))
+    chi_l = jnp.where(at_start, _c(0), _shift_right1(chi_x, _c(0)))
 
-    def chunk(state):
-        """One 2*CHUNK aligned slab: Mosaic dynamic vector loads must sit at
-        1024-aligned offsets, so rows are read in aligned pairs of chunks and
-        the previous-row lane comes from a 1-rotate + carried scalar."""
-        c2, carry, pkey, pval = state
-        base = pl.multiple_of(c2 * np.int32(2 * CHUNK), 2 * CHUNK)
-        k2 = keys_ref[pl.ds(base, 2 * CHUNK)]
-        v2 = vals_ref[pl.ds(base, 2 * CHUNK)]
-        for half in (0, 1):
-            k = jax.lax.slice_in_dim(k2, half * CHUNK, (half + 1) * CHUNK)
-            v = jax.lax.slice_in_dim(v2, half * CHUNK, (half + 1) * CHUNK)
-            kp = lead0(pkey, _roll1d(k, np.int32(1)))
-            vp = lead0(pval, _roll1d(v, np.int32(1)))
-            # first global row forces a new-group flag; carries land in the
-            # dummy lead slot (gid -1 -> out[0]), sliced off outside
-            is_first = ((i == 0) & (c2 == 0)) if half == 0 else None
-            carry = half_chunk(k, v, kp, vp, is_first, carry)
-            pkey = _onehot_extract(k, CHUNK - 1)
-            pval = _onehot_extract(v, CHUNK - 1)
-        return c2 + np.int32(1), carry, pkey, pval
+    occ32 = occ.astype(jnp.int32)
+    cnt_c = (r_ext - r_left) * occ32
+    slo_c = (clo_x - clo_l) * occ32          # in [0, 2048*65535]
+    shi_c = (chi_x - chi_l) * occ32          # |.| <= 2048*32768
+    # block-local sum as a true 64-bit pair: slo_c + (shi_c << 16)
+    shx_hi, shx_lo = _split64(shi_c, 16)
+    p_hi, p_lo = _add64(shx_hi, shx_lo, jnp.zeros_like(slo_c), slo_c)
 
-    carry0 = (smem[1], smem[2], smem[3], smem[4], smem[5], smem[6],
-              jnp.int32(0))
-    # while_loop with an explicit int32 counter: under x64 a fori_loop's
-    # internal induction variable is int64, which Mosaic cannot lower
-    _, (ocnt, oshi, oslo, omin, omax, okey, olocal), pkey, pval = \
-        jax.lax.while_loop(
-            lambda st: st[0] < np.int32(CPS // 2), chunk,
-            (jnp.int32(0), carry0, smem[7], smem[8]))
+    # ---- accumulate into staging at sublane offset fr -------------------
+    win = pl.ds(fr, DR)
+    g_key[win, :] = g_key[win, :] + rkey
+    g_min[win, :] = g_min[win, :] + rmin
+    g_max[win, :] = g_max[win, :] + maxc
+    g_cnt[win, :] = g_cnt[win, :] + cnt_c
+    s_hi, s_lo = _add64(g_shi[win, :], g_slo[win, :], p_hi, p_lo)
+    g_slo[win, :] = s_lo
+    g_shi[win, :] = s_hi
 
-    smem[1] = ocnt
-    smem[2] = oshi
-    smem[3] = oslo
-    smem[4] = omin
-    smem[5] = omax
-    smem[6] = okey
-    # last row of this superblock seeds the next step's previous-row lane
-    smem[7] = pkey
-    smem[8] = pval
+    f_new = f + d_blk
 
-    @pl.when(i == last)
+    # ---- flush 2048 finished groups when the open slot passes them ------
+    @pl.when(f_new > _c(FLUSH * LANES))
     def _():
-        # final open group (always exists: padding sentinel group at least);
-        # slots past it inside the window are garbage beyond the count
-        zero = jnp.zeros((CHUNK,), jnp.int32)
-        _store_window(st_key, olocal, lead0(okey, zero))
-        _store_window(st_cnt, olocal, lead0(ocnt, zero))
-        _store_window(st_shi, olocal, lead0(oshi, zero))
-        _store_window(st_slo, olocal, lead0(oslo, zero))
-        _store_window(st_mn, olocal, lead0(omin, zero))
-        _store_window(st_mx, olocal, lead0(omax, zero))
-
-    n_region = jnp.where(i == last, olocal + 1, olocal)
-    counts_out[i] = n_region
-
-    @pl.when(n_region > 0)
-    def _():
-        base = pl.multiple_of(i * np.int32(SBW), 1024)  # SBW = 33 x 1024
-        pairs = ((st_key, key_out), (st_cnt, cnt_out), (st_shi, shi_out),
-                 (st_slo, slo_out), (st_mn, mn_out), (st_mx, mx_out))
-        # index semaphores with int32 scalars: plain Python ints are
-        # weak-i64 under x64 and tpu.memref_slice demands i32 operands
-        for lane, (st, out) in enumerate(pairs):
+        dst = jnp.minimum(gw // _c(LANES), _c(cap_rows - FLUSH))
+        pairs = ((g_key, okey), (g_cnt, ocnt), (g_slo, oslo),
+                 (g_shi, oshi), (g_min, omin), (g_max, omax))
+        for j, (g, o) in enumerate(pairs):
             pltpu.make_async_copy(
-                st.at[pl.ds(0, SBW)],
-                out.at[pl.ds(base, SBW)],
-                sems.at[jnp.int32(lane)],
+                g.at[0:FLUSH, :], o.at[pl.ds(dst, FLUSH), :], sems.at[np.int32(j)]
             ).start()
-        for lane, (st, out) in enumerate(pairs):
+        for j, (g, o) in enumerate(pairs):
             pltpu.make_async_copy(
-                st.at[pl.ds(0, SBW)],
-                out.at[pl.ds(base, SBW)],
-                sems.at[jnp.int32(lane)],
+                g.at[0:FLUSH, :], o.at[pl.ds(dst, FLUSH), :], sems.at[np.int32(j)]
             ).wait()
+        for g, _o in pairs:
+            kept = g[FLUSH:SR, :]
+            g[0:SR - FLUSH, :] = kept
+            g[SR - FLUSH:SR, :] = jnp.zeros((FLUSH, LANES), jnp.int32)
+        scal[1] = gw + _c(FLUSH * LANES)
+
+    scal[0] = jnp.where(f_new > _c(FLUSH * LANES),
+                        f_new - _c(FLUSH * LANES), f_new)
+    scal[2] = sk_ref[RIN - 1, LANES - 1]
+    scal[3] = sv_ref[RIN - 1, LANES - 1]
+
+    # ---- final step: close the last group, flush the remainder ----------
+    @pl.when(i == _c(nsteps - 1))
+    def _():
+        ff = scal[0]
+        gw2 = scal[1]
+        lastv = sv_ref[RIN - 1, LANES - 1]
+        orow = (ff - _c(1)) // _c(LANES)
+        olane = (ff - _c(1)) - orow * _c(LANES)
+        fixrow = pl.ds(orow, 1)
+        onehot = (_lane_iota((1, LANES)) == olane).astype(jnp.int32)
+        g_max[fixrow, :] = g_max[fixrow, :] + onehot * lastv
+        dst = jnp.minimum(gw2 // _c(LANES), _c(cap_rows - FLUSH))
+        pairs = ((g_key, okey), (g_cnt, ocnt), (g_slo, oslo),
+                 (g_shi, oshi), (g_min, omin), (g_max, omax))
+        for j, (g, o) in enumerate(pairs):
+            pltpu.make_async_copy(
+                g.at[0:FLUSH, :], o.at[pl.ds(dst, FLUSH), :], sems.at[np.int32(j)]
+            ).start()
+        for j, (g, o) in enumerate(pairs):
+            pltpu.make_async_copy(
+                g.at[0:FLUSH, :], o.at[pl.ds(dst, FLUSH), :], sems.at[np.int32(j)]
+            ).wait()
+        ong[0] = gw2 + ff
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
 def seg_agg_sorted_i32(keys_sorted: jnp.ndarray, vals_sorted: jnp.ndarray,
                        max_groups: int, interpret: bool = False):
     """Dense group outputs from co-sorted (key, value) int32 lanes.
@@ -350,70 +339,47 @@ def seg_agg_sorted_i32(keys_sorted: jnp.ndarray, vals_sorted: jnp.ndarray,
     Returns (key, cnt_i32, sum_i64, min_i32, max_i32, n_groups_i32) where the
     dense arrays have exactly ``max_groups`` entries; entries >= n_groups are
     garbage.  n_groups INCLUDES the sentinel group when padding was present.
-    Overflow (n_groups > max_groups): trailing groups are dropped but
-    n_groups is still exact, so the caller's overflow/regrow protocol works
-    unchanged.
+    Overflow (n_groups > max_groups): trailing groups are dropped (writes
+    clamp into the output's tail headroom) but n_groups stays exact, so the
+    caller's overflow/regrow protocol works unchanged.
     """
     n = keys_sorted.shape[0]
     assert n % SB == 0, n
     grid = n // SB
-    cap = grid * SBW
+    # headroom: one full staging flush past max_groups so clamped writes
+    # never clobber real slots below max_groups
+    cap_rows = -(-max_groups // LANES) + 2 * FLUSH
 
-    # full-array blocks + explicit int32-zero index maps: the auto-generated
-    # index map of an UNBLOCKED spec returns a weak-i64 constant under x64,
-    # which the Mosaic pass pipeline refuses (func.return i64).  Outputs are
-    # pinned to HBM (pl.ANY with a full block lands in VMEM, whose dynamic
-    # slices must be tile-aligned).
-    full = pl.BlockSpec((cap,), lambda i: (np.int32(0),),
-                        memory_space=pltpu.MemorySpace.HBM)
+    # explicit int32 index maps: the auto-generated map of an UNBLOCKED spec
+    # returns a weak-i64 constant under x64, which Mosaic refuses
+    out_hbm = pl.BlockSpec((cap_rows, LANES),
+                           lambda i: (np.int32(0), np.int32(0)),
+                           memory_space=pltpu.MemorySpace.HBM)
     kernel = pl.pallas_call(
         _seg_agg_kernel,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((SB,), lambda i: (i,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((SB,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((RIN, LANES), lambda i: (i, np.int32(0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RIN, LANES), lambda i: (i, np.int32(0)),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            full, full, full, full, full, full,
-            pl.BlockSpec((grid,), lambda i: (np.int32(0),),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((cap,), jnp.int32),  # key at run start
-            jax.ShapeDtypeStruct((cap,), jnp.int32),  # count
-            jax.ShapeDtypeStruct((cap,), jnp.int32),  # sum hi32
-            jax.ShapeDtypeStruct((cap,), jnp.int32),  # sum lo32
-            jax.ShapeDtypeStruct((cap,), jnp.int32),  # min
-            jax.ShapeDtypeStruct((cap,), jnp.int32),  # max
-            jax.ShapeDtypeStruct((grid,), jnp.int32),  # entries per region
-        ],
-        scratch_shapes=[
-            # per-lane 1D output staging; +_W so RMW window stores at
-            # offset <= SB fit (2D lane slicing breaks DMA sublane tiling)
-            pltpu.VMEM((SB + _W,), jnp.int32),
-            pltpu.VMEM((SB + _W,), jnp.int32),
-            pltpu.VMEM((SB + _W,), jnp.int32),
-            pltpu.VMEM((SB + _W,), jnp.int32),
-            pltpu.VMEM((SB + _W,), jnp.int32),
-            pltpu.VMEM((SB + _W,), jnp.int32),
-            pltpu.SMEM((10,), jnp.int32),
-            pltpu.SemaphoreType.DMA((6,)),
-        ],
+        out_specs=[out_hbm] * 6 + [
+            pl.BlockSpec((1,), lambda i: (np.int32(0),),
+                         memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((cap_rows, LANES), jnp.int32)
+                   for _ in range(6)] + [jax.ShapeDtypeStruct((1,), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((SR, LANES), jnp.int32) for _ in range(6)]
+        + [pltpu.SMEM((4,), jnp.int32), pltpu.SemaphoreType.DMA((6,))],
         interpret=interpret,
     )
-    key_r, cnt_r, shi_r, slo_r, mn_r, mx_r, counts = kernel(
-        keys_sorted, vals_sorted)
+    key_r, cnt_r, slo_r, shi_r, mn_r, mx_r, ng = kernel(
+        keys_sorted.reshape(grid * RIN, LANES),
+        vals_sorted.reshape(grid * RIN, LANES))
 
-    # compact the per-superblock regions with one gather: global entry e
-    # lives in region r at local slot e - starts[r].  Entry 0 is the dummy
-    # lead slot (gid -1, forced by the first-row flag) and is skipped.
-    starts = (jnp.cumsum(counts.astype(jnp.int32)) - counts).astype(jnp.int32)
-    ng = starts[-1] + counts[-1] - 1  # total entries minus the dummy lead
-    e = jnp.arange(1, max_groups + 1, dtype=jnp.int32)
-    r = (jnp.searchsorted(starts, e, side="right", method="scan")
-         .astype(jnp.int32) - 1)
-    src = jnp.clip(r * np.int32(SBW) + (e - starts[r]), 0, cap - 1)
-    key_g, cnt_g = key_r[src], cnt_r[src]
-    sum64 = (shi_r[src].astype(jnp.int64) << 32) | (
-        slo_r[src].astype(jnp.int64) & 0xFFFFFFFF)
-    return key_g, cnt_g, sum64, mn_r[src], mx_r[src], ng
+    def flat(x):
+        return x.reshape(-1)[:max_groups]
+
+    sum64 = (flat(shi_r).astype(jnp.int64) << 32) | (
+        flat(slo_r).astype(jnp.int64) & 0xFFFFFFFF)
+    return (flat(key_r), flat(cnt_r), sum64, flat(mn_r), flat(mx_r), ng[0])

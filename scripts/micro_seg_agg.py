@@ -91,9 +91,29 @@ def main():
     kh = np.asarray(ks); vh = np.asarray(vs).astype(np.int64)
     uk, idx, cnts = np.unique(kh, return_index=True, return_counts=True)
     sums = np.add.reduceat(vh, idx)
+    mins = np.minimum.reduceat(np.asarray(vs), idx)
+    ends = np.concatenate([idx[1:], [len(kh)]])
+    maxs = np.asarray(vs)[ends - 1]
     ok = (ngi == len(uk) and np.array_equal(hk, uk[:8])
           and np.array_equal(hc, cnts[:8]) and np.array_equal(hs, sums[:8]))
-    print(f"n_groups={ngi} expected={len(uk)} head_ok={ok}", flush=True)
+    # sampled full-range parity: 4096 evenly spaced groups, gathered on device
+    pick = np.linspace(0, len(uk) - 1, 4096).astype(np.int32)
+    pick_d = jnp.asarray(pick)
+
+    @jax.jit
+    def sample(kk, cc, ss, mn, mx):
+        return kk[pick_d], cc[pick_d], ss[pick_d], mn[pick_d], mx[pick_d]
+
+    sk_, sc_, ss_, smn_, smx_ = (np.asarray(x) for x in
+                                 sample(kk, cc, ss, mn, mx))
+    samp_ok = (np.array_equal(sk_, uk[pick])
+               and np.array_equal(sc_, cnts[pick])
+               and np.array_equal(ss_, sums[pick])
+               and np.array_equal(smn_, mins[pick])
+               and np.array_equal(smx_, maxs[pick]))
+    ok = bool(ok and samp_ok)
+    print(f"n_groups={ngi} expected={len(uk)} head_ok={ok} "
+          f"(sampled 4096: {samp_ok})", flush=True)
 
     # --- existing XLA groupby machinery (sort + post-sort), for comparison ---
     from gpu_olap_tpu.ops import aggregate as agg
@@ -105,7 +125,7 @@ def main():
         aggs = [dict(base, func="sum"), dict(base, func="min"),
                 dict(base, func="max")]
         return agg.groupby_aggregate([(k, None)], None, aggs, max_groups,
-                                     prefix_rows=n)
+                                     prefix_rows=n, allow_pallas=False)
 
     xla_full_j = jax.jit(xla_full)
     t_xla = timeit(xla_full_j, k, v, iters=args.iters)

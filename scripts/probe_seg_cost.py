@@ -1,0 +1,123 @@
+"""Bisect the seg_agg kernel's on-TPU cost: time stripped-down variants.
+
+Variants (cumulative):
+  v0_io      — read input block, trivial reduce, write 1 scalar
+  v1_prep    — + boundary mask, cumsums, field splits
+  v2_route   — + the 12-stage butterfly (6 streams)
+  v3_stage   — + staging window add (dynamic sublane offset)
+  full       — the real seg_agg kernel (engine code)
+"""
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+sys.path.insert(0, ".")
+from gpu_olap_tpu.ops.pallas.routing import (  # noqa: E402
+    LANES, _c, _cumsum_flat, _pos_iota, _shift_right1, _sum_i32, route_left)
+from gpu_olap_tpu.ops.pallas.seg_agg import (  # noqa: E402
+    RIN, SB, SR, seg_agg_sorted_i32)
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 27
+N = -(-N // SB) * SB
+G = 1 << 22
+
+key = jax.random.PRNGKey(0)
+k1, k2 = jax.random.split(key)
+k = jax.random.randint(k1, (N,), 0, G, dtype=jnp.int32)
+v = jax.random.randint(k2, (N,), 0, 1 << 20, dtype=jnp.int32)
+ks, vs = jax.block_until_ready(jax.jit(
+    lambda a, b: jax.lax.sort((a, b), num_keys=2))(k, v))
+print(f"device={jax.devices()[0]} rows={N}", flush=True)
+
+
+def timeit(name, fn, *args):
+    f = jax.jit(fn)
+    r = jax.block_until_ready(f(*args))
+    np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[-1:])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = f(*args)
+        np.asarray(jax.tree_util.tree_leaves(r)[0].ravel()[-1:])
+        best = min(best, time.perf_counter() - t0)
+    print(f"{name:10s} {best*1e3:8.1f} ms ({N/best/1e6:7.1f}M rows/s)",
+          flush=True)
+
+
+def make_variant(level):
+    def kern(sk_ref, sv_ref, out_ref, stg, scal):
+        i = pl.program_id(0)
+
+        @pl.when(i == _c(0))
+        def _():
+            stg[...] = jnp.zeros((SR, LANES), jnp.int32)
+            scal[0] = _c(0)
+
+        sk = sk_ref[...]
+        sv = sv_ref[...]
+        acc = _sum_i32(sk) + _sum_i32(sv)
+        if level >= 1:
+            pos16 = _pos_iota(RIN)
+            prev_k = _shift_right1(sk, scal[0])
+            m32 = (sk != prev_k).astype(jnp.int32)
+            incl = _cumsum_flat(m32)
+            lo16 = sv & _c(0xFFFF)
+            hi16 = sv >> _c(16)
+            clo = _cumsum_flat(lo16) - lo16
+            chi = _cumsum_flat(hi16) - hi16
+            acc = acc + _sum_i32(incl) + _sum_i32(clo) + _sum_i32(chi)
+        if level >= 2:
+            f = scal[0]
+            fr = jnp.maximum(f - _c(1), _c(0)) // _c(LANES)
+            relf = f - fr * _c(LANES)
+            m = m32 != _c(0)
+            tgt = relf + incl - _c(1)
+            delta = (pos16 + _c(2 * LANES)) - tgt
+            d_arr = jnp.concatenate(
+                [jnp.full((2, LANES), -1, jnp.int32),
+                 jnp.where(m, delta, _c(-1))], axis=0)
+
+            def lift(x):
+                return jnp.concatenate(
+                    [jnp.zeros((2, LANES), jnp.int32),
+                     jnp.where(m, x, _c(0))], axis=0)
+
+            routed = route_left(d_arr, [lift(sk), lift(sv), lift(clo),
+                                        lift(chi), lift(pos16),
+                                        lift(incl)], 12)
+            acc = acc + _sum_i32(routed[0][:RIN]) + _sum_i32(routed[1][:RIN])
+        if level >= 3:
+            win = pl.ds(fr, 18)
+            for r in routed[:4]:
+                stg[win, :] = stg[win, :] + r
+            acc = acc + stg[0, 0]
+        scal[0] = acc
+        out_ref[0] = acc
+
+    grid = N // SB
+    spec = pl.BlockSpec((RIN, LANES), lambda i: (i, np.int32(0)),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern, grid=(grid,),
+        in_specs=[spec, spec],
+        out_specs=pl.BlockSpec((1,), lambda i: (np.int32(0),),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((SR, LANES), jnp.int32),
+                        pltpu.SMEM((2,), jnp.int32)],
+    )
+
+
+a2 = ks.reshape(N // LANES, LANES)
+b2 = vs.reshape(N // LANES, LANES)
+for lvl, name in [(0, "v0_io"), (1, "v1_prep"), (2, "v2_route"),
+                  (3, "v3_stage")]:
+    timeit(name, make_variant(lvl), a2, b2)
+
+timeit("full", lambda a, b: seg_agg_sorted_i32(a, b, G + 8, False), ks, vs)

@@ -124,7 +124,7 @@ def test_seg_agg_every_row_new_group():
 def test_seg_agg_sentinel_padding():
     """Padded rows masked to INT32_MAX form one trailing sentinel group."""
     rng = np.random.default_rng(11)
-    n = seg_agg.SB
+    n = 8 * seg_agg.SB
     n_valid = n - 12345
     keys = np.full(n, np.iinfo(np.int32).max, dtype=np.int32)
     keys[:n_valid] = np.sort(rng.integers(0, 500, n_valid)).astype(np.int32)
@@ -150,3 +150,133 @@ def test_seg_agg_overflow_exact_count():
     k, c, s, mn, mx, ng = _run_seg_agg(keys, vals, 64)
     assert ng == n
     assert k[0] == 0 and c[0] == 1 and s[0] == 1
+
+
+def test_seg_agg_multiple_flushes():
+    """>3 staging flushes (2048 groups each): random group sizes, many blocks."""
+    rng = np.random.default_rng(12)
+    sizes = rng.integers(1, 9, 9000)
+    keys = np.repeat(np.arange(len(sizes), dtype=np.int32) * 7 - 100, sizes)
+    n = len(keys)
+    pad = (-n) % seg_agg.SB
+    keys = np.concatenate([keys, np.full(pad, np.iinfo(np.int32).max, np.int32)])
+    vals = rng.integers(-(1 << 30), 1 << 30, len(keys)).astype(np.int32)
+    order = np.lexsort((vals, keys))
+    _check_seg_agg(keys[order], vals[order], max_groups=9010)
+
+
+def test_seg_agg_giant_group_across_flush():
+    """A group spanning many blocks right at a flush boundary, extreme values."""
+    n = 8 * seg_agg.SB
+    keys = np.empty(n, dtype=np.int32)
+    keys[:2047] = np.arange(2047, dtype=np.int32)      # fill staging to 2047
+    keys[2047:6 * seg_agg.SB] = 2047                   # giant group over blocks
+    rest = n - 6 * seg_agg.SB
+    keys[6 * seg_agg.SB:] = 2048 + np.arange(rest, dtype=np.int32) // 5
+    vals = np.full(n, (1 << 31) - 1, dtype=np.int32)   # int64-sum stress
+    vals[::3] = -(1 << 31)
+    order = np.lexsort((vals, keys))
+    _check_seg_agg(keys[order], vals[order], max_groups=2048 + rest)
+
+
+def test_seg_agg_fuzz_vs_oracle():
+    rng = np.random.default_rng(13)
+    for trial in range(4):
+        nblk = int(rng.integers(1, 7))
+        n = nblk * seg_agg.SB
+        ng = int(rng.integers(1, n + 1))
+        keys = np.sort(rng.integers(-(1 << 28), 1 << 28, ng))[
+            rng.integers(0, ng, n)].astype(np.int32)
+        vals = rng.integers(-(1 << 31), 1 << 31, n).astype(np.int32)
+        order = np.lexsort((vals, keys))
+        _check_seg_agg(keys[order], vals[order], max_groups=n + 8)
+
+
+# ---------------------------------------------------------------------------
+# sorted-space join kernels (ops/pallas/join_stream.py)
+# ---------------------------------------------------------------------------
+
+from gpu_olap_tpu.ops.pallas import join_stream as js  # noqa: E402
+
+
+def _pad_to(x, mult, fill):
+    pad = (-len(x)) % mult
+    return np.concatenate([x, np.full(pad, fill, x.dtype)])
+
+
+def test_stream_compact_basic():
+    rng = np.random.default_rng(20)
+    n = 6 * js.SB
+    mask = (rng.random(n) < 0.3)
+    a = rng.integers(-(1 << 31), 1 << 31, n).astype(np.int32)
+    b = rng.integers(-(1 << 31), 1 << 31, n).astype(np.int32)
+    outs, cnt = js.stream_compact_i32(
+        jax.numpy.asarray(mask), [jax.numpy.asarray(a), jax.numpy.asarray(b)],
+        int(mask.sum()) + 8, True)
+    cnt = int(cnt)
+    assert cnt == mask.sum()
+    np.testing.assert_array_equal(np.asarray(outs[0])[:cnt], a[mask])
+    np.testing.assert_array_equal(np.asarray(outs[1])[:cnt], b[mask])
+
+
+def test_stream_compact_extremes():
+    # all-set, none-set, flush-boundary-exact blocks
+    n = 4 * js.SB
+    a = np.arange(n, dtype=np.int32)
+    for mask in (np.ones(n, bool), np.zeros(n, bool),
+                 np.arange(n) % 2 == 0):
+        outs, cnt = js.stream_compact_i32(
+            jax.numpy.asarray(mask), [jax.numpy.asarray(a)],
+            int(mask.sum()) + 8, True)
+        cnt = int(cnt)
+        assert cnt == mask.sum()
+        np.testing.assert_array_equal(np.asarray(outs[0])[:cnt], a[mask])
+
+
+def test_expand_fill_basic():
+    rng = np.random.default_rng(21)
+    m = 3000
+    cnts = rng.integers(1, 6, m).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int32)
+    total = int(cnts.sum())
+    va = rng.integers(-(1 << 31), 1 << 31, m).astype(np.int32)
+    vb = rng.integers(0, 1 << 30, m).astype(np.int32)
+    cap = -(-total // js.SB) * js.SB
+    sp = _pad_to(starts, js.SB, np.iinfo(np.int32).max)
+    if len(sp) - m < 2304:
+        sp = np.concatenate([sp, np.full(js.SB * 2, np.iinfo(np.int32).max,
+                                         np.int32)])
+    pad_len = len(sp)
+    off, fa, fb = js.expand_fill_i32(
+        jax.numpy.asarray(sp),
+        [jax.numpy.asarray(_pad_to(va, 1, 0)[np.arange(pad_len) % m]
+                           if False else np.resize(va, pad_len)),
+         jax.numpy.asarray(np.resize(vb, pad_len))], cap, True)
+    off, fa, fb = (np.asarray(x)[:total] for x in (off, fa, fb))
+    exp_rec = np.repeat(np.arange(m), cnts)
+    exp_off = np.arange(total) - starts.astype(np.int64)[exp_rec]
+    np.testing.assert_array_equal(off, exp_off)
+    np.testing.assert_array_equal(fa, va[exp_rec])
+    np.testing.assert_array_equal(fb, vb[exp_rec])
+
+
+def test_expand_fill_long_runs_and_block_spans():
+    # runs that span multiple 2048-slot output blocks + single giant run
+    cnts = np.array([5000, 1, 1, 7000, 2048, 2, 4096], dtype=np.int64)
+    m = len(cnts)
+    starts = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int32)
+    total = int(cnts.sum())
+    va = np.arange(m, dtype=np.int32) * 7 - 3
+    cap = -(-total // js.SB) * js.SB
+    pad_len = -(-(m + 2304) // js.SB) * js.SB
+    sp = _pad_to(starts, 1, 0)
+    sp = np.concatenate([sp, np.full(pad_len - m, np.iinfo(np.int32).max,
+                                     np.int32)])
+    off, fa = js.expand_fill_i32(
+        jax.numpy.asarray(sp), [jax.numpy.asarray(np.resize(va, pad_len))],
+        cap, True)
+    off, fa = np.asarray(off)[:total], np.asarray(fa)[:total]
+    exp_rec = np.repeat(np.arange(m), cnts)
+    exp_off = np.arange(total) - starts.astype(np.int64)[exp_rec]
+    np.testing.assert_array_equal(off, exp_off)
+    np.testing.assert_array_equal(fa, va[exp_rec])
