@@ -53,6 +53,10 @@ class Catalog:
     def get_version(self, name: str) -> int:
         return self._versions.get(name, 0)
 
+    @property
+    def cache_threshold(self) -> int:
+        return self._cache_threshold
+
     # -- registration ------------------------------------------------------
     def load_table(self, name: str, path: str) -> None:
         """Register a Parquet table (``catalog.rs:32-73``)."""

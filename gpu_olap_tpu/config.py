@@ -66,6 +66,10 @@ class EngineConfig:
 
     # --- catalog ---
     table_cache_threshold_rows: int = 10_000_000   # reference catalog.rs:50
+    # grace-join spill partitioning (out-of-core joins where BOTH sides
+    # exceed the cache threshold; reference PROJECT_SUMMARY.md:24,115-118)
+    spill_dir: Optional[str] = None                # None = system temp dir
+    spill_partitions: Optional[int] = None         # None = auto from sizes
 
     # --- compatibility aliases (reference Python ctor kwargs) ---
     @classmethod

@@ -159,7 +159,9 @@ class DeviceExecutor:
                     self._streaming = StreamingAggregator(
                         self.catalog, self.config, _Interpreter)
                 batch = self._streaming.execute(plan)
-                self.last_backend = "streaming"
+                self.last_backend = ("streaming-partitioned"
+                                     if self._streaming.last_partitioned
+                                     else "streaming")
                 return batch
             except NotStreamable as e:
                 logger.warning(

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import EngineConfig
 from ..interop.columnar import Column, ColumnBatch, DType
+from ..interop import arrow as arrow_io
 from ..mem.arena import BufferArena
 from ..mem.feeder import DeviceFeeder
 from ..ops import aggregate as agg_ops
@@ -50,6 +51,9 @@ class _StreamablePipeline:
     join: Optional[P.TpuHashJoin] = None
     agg_middle: List[P.PhysicalPlan] = dataclasses.field(default_factory=list)
     build_plan: Optional[P.PhysicalPlan] = None  # cached-side subtree
+    # grace-join mode: BOTH sides exceed the memory threshold -> hash-spill
+    # both into k partition pairs, join each pair with a resident build
+    partitioned: bool = False
 
 
 def _strip_middle(node: P.PhysicalPlan):
@@ -103,15 +107,36 @@ def match_streamable(plan: P.PhysicalPlan, catalog) -> _StreamablePipeline:
         if not isinstance(probe_leaf, P.TpuTableScan) \
                 or not isinstance(build_leaf, P.TpuTableScan):
             raise NotStreamable("streamed join requires scan leaves")
-        if catalog.is_cached(probe_leaf.table_name):
-            raise NotStreamable("probe side is cached (not the streamed one)")
-        if not catalog.is_cached(build_leaf.table_name):
-            raise NotStreamable("build side must fit in memory (cached)")
         if join.left_keys[0].dtype is DType.STRING:
             raise NotStreamable("string join keys while streaming")
+        if catalog.is_cached(probe_leaf.table_name) \
+                and catalog.is_cached(build_leaf.table_name):
+            raise NotStreamable("both sides cached (in-memory path)")
+        if catalog.is_cached(build_leaf.table_name):
+            if catalog.is_cached(probe_leaf.table_name):
+                raise NotStreamable("probe side is cached (not streamed)")
+            return _StreamablePipeline(probe_leaf, probe_middle, plan,
+                                       join=join, agg_middle=middle,
+                                       build_plan=join.right)
+        # build side above the memory threshold: grace-join partitioning
+        # (reference PROJECT_SUMMARY.md:24,115-118).  Host partitioning
+        # hashes raw table columns, so keys must be plain column refs and
+        # both scans direct (per-side filters would also be re-derivable,
+        # but keep the spill pass simple)
+        if probe_middle or build_middle:
+            raise NotStreamable("partitioned join with per-side operators")
+        if not isinstance(join.left_keys[0], P.ColumnRef) \
+                or not isinstance(join.right_keys[0], P.ColumnRef):
+            raise NotStreamable("partitioned join key must be a column")
+        for leaf in (probe_leaf, build_leaf):
+            sch = catalog.get_schema(leaf.table_name)
+            idxs = (leaf.projection if leaf.projection is not None
+                    else range(len(sch)))
+            if any(sch.field(i).dtype is DType.STRING for i in idxs):
+                raise NotStreamable("string columns in partitioned join")
         return _StreamablePipeline(probe_leaf, probe_middle, plan,
                                    join=join, agg_middle=middle,
-                                   build_plan=join.right)
+                                   build_plan=join.right, partitioned=True)
     raise NotStreamable(type(node).__name__)
 
 
@@ -126,6 +151,14 @@ class StreamingAggregator:
         # analogue, slab_allocator.rs:24-130): bounded byte budget, O(1)
         # reuse across chunks instead of a fresh allocation per column
         self.arena = BufferArena(max_bytes=config.max_hbm_bytes)
+        # grace-join spill partitions (cached per table version)
+        from .spill import SpillStore
+        self.spill = SpillStore(getattr(config, "spill_dir", None))
+        # memoized jitted steps: the build side rides as ARGUMENTS (not a
+        # closure constant), so partition pairs with equal shapes reuse one
+        # compile instead of retracing per partition
+        self._steps = {}
+        self.last_partitioned = False
 
     def execute(self, plan: P.PhysicalPlan) -> ColumnBatch:
         agg_root, has_above = split_above_aggregate(plan)
@@ -145,16 +178,23 @@ class StreamingAggregator:
         agg = pipe.aggregate
         chunk_rows = self.config.batch_size
         partials = _partial_layout(agg)
-
-        build = self._prepare_build(pipe) if pipe.join is not None else None
+        self.last_partitioned = pipe.partitioned
 
         max_groups = min(self.config.max_groups, 1 << 22)
         join_capacity = int(chunk_rows * self.config.join_expansion) \
             if pipe.join is not None else 0
 
+        if pipe.partitioned:
+            return self._execute_partitioned(pipe, chunk_rows, max_groups,
+                                             join_capacity, partials)
+
+        build = self._prepare_build(pipe) if pipe.join is not None else None
+
         for attempt in range(4):
-            state, overflowed = self._stream_once(
-                pipe, build, chunk_rows, max_groups, join_capacity, partials)
+            state = _init_state(agg.group_exprs, partials, max_groups)
+            state, overflowed = self._stream_part(
+                pipe, build, chunk_rows, max_groups, join_capacity, partials,
+                state, self._probe_chunks(pipe, chunk_rows))
             if not overflowed:
                 return self._finalize(agg, state, max_groups)
             join_capacity *= 4
@@ -164,20 +204,97 @@ class StreamingAggregator:
                            join_capacity, max_groups)
         raise RuntimeError("streaming capacities kept overflowing")
 
-    def _stream_once(self, pipe, build, chunk_rows, max_groups, join_capacity,
-                     partials):
+    def _probe_cols(self, pipe) -> List[str]:
+        table_schema = self.catalog.get_schema(pipe.scan.table_name)
+        return ([f.name for f in table_schema]
+                if pipe.scan.projection is None
+                else [table_schema.field(i).name
+                      for i in pipe.scan.projection])
+
+    def _probe_chunks(self, pipe, chunk_rows, path=None):
+        cols = self._probe_cols(pipe)
+        if path is not None:
+            return arrow_io.iter_parquet_chunks(path, chunk_rows, cols)
+        return self.catalog.iter_table_chunks(
+            pipe.scan.table_name, chunk_rows, columns=cols)
+
+    def _execute_partitioned(self, pipe, chunk_rows, max_groups,
+                             join_capacity, partials) -> ColumnBatch:
+        """Grace join: both sides spill into k hash partitions by join key;
+        each pair joins with a device-resident (padded-bucket) build side,
+        accumulating into ONE mergeable group state across all pairs
+        (reference out-of-core contract, PROJECT_SUMMARY.md:24,115-118)."""
+        import os
+
+        from .spill import choose_partitions
+
         agg = pipe.aggregate
-        step = self._build_step(pipe, chunk_rows, max_groups, partials,
-                                build, join_capacity)
-        state = _init_state(agg.group_exprs, partials, max_groups)
+        join = pipe.join
+        _, build_scan = _strip_middle(pipe.build_plan)
+
+        def raw_name(scan, pos):
+            # scan schemas are table-qualified; spill chunks carry the raw
+            # Parquet column names — map through the scan projection
+            tsch = self.catalog.get_schema(scan.table_name)
+            ti = pos if scan.projection is None else scan.projection[pos]
+            return tsch.field(ti).name
+
+        lname = raw_name(pipe.scan, join.left_keys[0].index)
+        rname = raw_name(build_scan, join.right_keys[0].index)
+        build_rows = self.catalog.get_row_count(build_scan.table_name)
+        target = max(self.catalog.cache_threshold // 2, chunk_rows)
+        k = getattr(self.config, "spill_partitions", None) \
+            or choose_partitions(build_rows, target)
+        bsch = self.catalog.get_schema(build_scan.table_name)
+        bcols = ([f.name for f in bsch] if build_scan.projection is None
+                 else [bsch.field(i).name for i in build_scan.projection])
+        probe_paths = self.spill.partition_table(
+            self.catalog, pipe.scan.table_name, lname, k, chunk_rows,
+            self._probe_cols(pipe))
+        build_paths = self.spill.partition_table(
+            self.catalog, build_scan.table_name, rname, k, chunk_rows, bcols)
+
+        for attempt in range(4):
+            state = _init_state(agg.group_exprs, partials, max_groups)
+            overflow = False
+            n_parts = 0
+            for pi in range(k):
+                if not (os.path.exists(build_paths[pi])
+                        and os.path.exists(probe_paths[pi])):
+                    continue  # empty partition on either side: no matches
+                host = arrow_io.read_parquet(build_paths[pi])
+                build = self._prepare_build(pipe, host_batch=host,
+                                            pad_bucket=True)
+                state, ovf = self._stream_part(
+                    pipe, build, chunk_rows, max_groups, join_capacity,
+                    partials, state,
+                    self._probe_chunks(pipe, chunk_rows,
+                                       path=probe_paths[pi]))
+                overflow = overflow or ovf
+                n_parts += 1
+            logger.info("partitioned join: %d/%d partition pairs joined",
+                        n_parts, k)
+            if not overflow:
+                return self._finalize(agg, state, max_groups)
+            join_capacity *= 4
+            max_groups = min(max_groups * 4, 1 << 24)
+            logger.warning("partitioned pass overflowed; retrying with "
+                           "join_capacity=%d max_groups=%d",
+                           join_capacity, max_groups)
+        raise RuntimeError("partitioned join capacities kept overflowing")
+
+    def _stream_part(self, pipe, build, chunk_rows, max_groups,
+                     join_capacity, partials, state, chunks):
+        """Stream one probe source into the (donated) group state.  The
+        build side rides as jit ARGUMENTS so partition pairs with equal
+        shapes share one compiled step."""
+        step = self._get_step(pipe, chunk_rows, max_groups, partials,
+                              build, join_capacity)
+        build_args = () if build is None else (
+            build["sk"], build["srow"], build["nbv"],
+            tuple((c.data, c.validity) for c in build["batch"].cols))
         overflow = jnp.asarray(False)
         feeder = DeviceFeeder(num_buffers=self.config.num_feed_buffers)
-        table_schema = self.catalog.get_schema(pipe.scan.table_name)
-        cols = ([f.name for f in table_schema] if pipe.scan.projection is None
-                else [table_schema.field(i).name for i in pipe.scan.projection])
-        chunks = self.catalog.iter_table_chunks(
-            pipe.scan.table_name, chunk_rows, columns=cols
-        )
 
         staged = collections.deque()  # arena buffers per in-flight chunk
 
@@ -190,7 +307,7 @@ class StreamingAggregator:
 
         n_chunks = 0
         for dev_chunk in feeder.feed(host_iter()):
-            state, step_overflow = step(state, *dev_chunk)
+            state, step_overflow = step(state, build_args, *dev_chunk)
             overflow = overflow | step_overflow
             n_chunks += 1
             # this chunk's H2D transfer is complete once its device arrays
@@ -204,24 +321,46 @@ class StreamingAggregator:
         return state, (bool(np.asarray(overflow)) if n_chunks else False)
 
     # ------------------------------------------------------------------
-    def _prepare_build(self, pipe: _StreamablePipeline):
-        """One-time: build side onto the device, filtered/projected, keyed,
-        sorted (eager jnp ops — the build side is cached/in-memory)."""
+    def _prepare_build(self, pipe: _StreamablePipeline, host_batch=None,
+                       pad_bucket: bool = False):
+        """Build side onto the device: filtered/projected, keyed, sorted
+        (eager jnp ops — the build side is resident).  ``host_batch``: an
+        already-projected batch (a spill partition).  ``pad_bucket``: pad
+        rows to a power-of-two bucket so every partition pair shares the
+        same compiled step."""
         from .device import DevBatch, DevCol, _np_kind
         from ..ops import join as join_ops
 
         interp = self._interpreter_cls(self.config, {}, {}, {
             "flag_names": [], "capacities": {}})
         build_middle, build_scan = _strip_middle(pipe.build_plan)
-        host = self.catalog.get_table_data(build_scan.table_name).to_numpy()
-        indices = (build_scan.projection if build_scan.projection is not None
-                   else range(len(host.columns)))
+        if host_batch is not None:
+            host = host_batch.to_numpy()
+            indices = range(len(host.columns))
+        else:
+            host = self.catalog.get_table_data(build_scan.table_name).to_numpy()
+            indices = (build_scan.projection
+                       if build_scan.projection is not None
+                       else range(len(host.columns)))
+        n = host.num_rows
+        cap = n
+        if pad_bucket:
+            cap = max(1024, 1 << (max(n - 1, 1)).bit_length())
         cols = []
         for i in indices:
             c = host.columns[i]
-            v = None if c.validity is None else jnp.asarray(c.validity)
-            cols.append(DevCol(jnp.asarray(c.data), v, c.dictionary))
-        batch = DevBatch(build_scan.schema, cols, host.num_rows, None)
+            data = np.asarray(c.data)
+            validity = c.validity
+            if cap > n:
+                data = np.concatenate(
+                    [data, np.zeros(cap - n, dtype=data.dtype)])
+                if validity is not None:
+                    validity = np.concatenate(
+                        [validity, np.zeros(cap - n, dtype=bool)])
+            v = None if validity is None else jnp.asarray(validity)
+            cols.append(DevCol(jnp.asarray(data), v, c.dictionary))
+        row_valid = (jnp.arange(cap) < n) if cap > n else None
+        batch = DevBatch(build_scan.schema, cols, cap, row_valid)
         for op in build_middle:
             batch = _apply_one(interp, op, batch)
         key_expr = pipe.join.right_keys[0]
@@ -232,9 +371,37 @@ class StreamingAggregator:
         return {"batch": batch, "sk": sk, "srow": srow, "nbv": nbv}
 
     # ------------------------------------------------------------------
-    def _build_step(self, pipe: _StreamablePipeline, chunk_rows: int,
-                    max_groups: int, partials, build=None,
-                    join_capacity: int = 0):
+    def _get_step(self, pipe: _StreamablePipeline, chunk_rows: int,
+                  max_groups: int, partials, build=None,
+                  join_capacity: int = 0):
+        """Memoized jitted step: keyed on plan identity + all shape-relevant
+        parameters + build signature, so spill partition pairs (same bucket)
+        and repeated queries reuse one compile."""
+        if build is None:
+            bsig = None
+            dicts = ()
+        else:
+            bsig = (build["sk"].shape, str(build["sk"].dtype),
+                    tuple((c.data.shape, str(c.data.dtype),
+                           c.validity is not None)
+                          for c in build["batch"].cols),
+                    build["batch"].row_valid is not None)
+            dicts = tuple(id(c.dictionary) if c.dictionary is not None
+                          else None for c in build["batch"].cols)
+        key = (id(pipe.aggregate), chunk_rows, max_groups, join_capacity,
+               bsig, dicts)
+        hit = self._steps.get(key)
+        if hit is not None:
+            return hit[1]
+        step = self._make_step(pipe, chunk_rows, max_groups, partials,
+                               build, join_capacity)
+        # pin pipe (id stability) and build dictionaries alongside the step
+        self._steps[key] = (pipe, step)
+        return step
+
+    def _make_step(self, pipe: _StreamablePipeline, chunk_rows: int,
+                   max_groups: int, partials, build=None,
+                   join_capacity: int = 0):
         interp = self._interpreter_cls(self.config, {}, {}, {
             "flag_names": [], "capacities": {}})
         scan_schema = pipe.scan.schema
@@ -251,8 +418,13 @@ class StreamingAggregator:
 
         agg = pipe.aggregate
         join = pipe.join
+        # static (trace-constant) build metadata: schema + dictionaries
+        build_dicts = (tuple(c.dictionary for c in build["batch"].cols)
+                       if build is not None else ())
+        build_schema = build["batch"].schema if build is not None else None
+        sk_dtype = build["sk"].dtype if build is not None else None
 
-        def step(state, valid_rows, *arrays):
+        def step(state, build_args, valid_rows, *arrays):
             cols = [DevCol(a, None, None) for a in arrays]
             row_valid = jnp.arange(chunk_rows) < valid_rows
             batch = DevBatch(scan_schema, cols, chunk_rows, row_valid)
@@ -261,24 +433,27 @@ class StreamingAggregator:
             step_overflow = jnp.asarray(False)
 
             if join is not None:
+                b_sk, b_srow, b_nbv, b_cols = build_args
+                bbatch_cols = [DevCol(d, v, dct) for (d, v), dct
+                               in zip(b_cols, build_dicts)]
                 # probe this chunk against the resident sorted build side
                 key_expr = join.left_keys[0]
                 d, v, _ = interp.eval_expr(key_expr, batch)
                 pcode, pnull = key_code(d, v, _np_kind(key_expr.dtype))
                 pinv = pnull if batch.row_valid is None else \
                     (pnull | ~batch.row_valid)
-                pcode = pcode.astype(build["sk"].dtype)
+                pcode = pcode.astype(sk_dtype)
                 lo, cnt = join_ops.probe_counts(
-                    build["sk"], build["nbv"], pcode, pinv)
+                    b_sk, b_nbv, pcode, pinv)
                 li, ri, out_valid, total, j_overflow = join_ops.expand_matches(
-                    cnt, lo, build["srow"], join_capacity)
+                    cnt, lo, b_srow, join_capacity)
                 step_overflow = step_overflow | j_overflow
                 from .device import _gather_col
 
                 jcols = [
                     _gather_col(c, li, out_valid) for c in batch.cols
                 ] + [
-                    _gather_col(c, ri, out_valid) for c in build["batch"].cols
+                    _gather_col(c, ri, out_valid) for c in bbatch_cols
                 ]
                 batch = DevBatch(join.schema, jcols, join_capacity, out_valid)
                 if join.residual is not None:

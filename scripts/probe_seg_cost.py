@@ -51,7 +51,7 @@ def timeit(name, fn, *args):
 
 
 def make_variant(level):
-    def kern(sk_ref, sv_ref, out_ref, stg, scal):
+    def kern(sk_ref, sv_ref, out_ref, stg, scal, hbm_out, dsem):
         i = pl.program_id(0)
 
         @pl.when(i == _c(0))
@@ -62,7 +62,7 @@ def make_variant(level):
         sk = sk_ref[...]
         sv = sv_ref[...]
         acc = _sum_i32(sk) + _sum_i32(sv)
-        if level >= 1:
+        if level >= 1 or level >= 3:
             pos16 = _pos_iota(RIN)
             prev_k = _shift_right1(sk, scal[0])
             m32 = (sk != prev_k).astype(jnp.int32)
@@ -92,32 +92,80 @@ def make_variant(level):
                                         lift(chi), lift(pos16),
                                         lift(incl)], 12)
             acc = acc + _sum_i32(routed[0][:RIN]) + _sum_i32(routed[1][:RIN])
-        if level >= 3:
+        if level == 3:   # dynamic sublane window RMW (the real kernel's form)
             win = pl.ds(fr, 18)
-            for r in routed[:4]:
+            for r in routed:
                 stg[win, :] = stg[win, :] + r
             acc = acc + stg[0, 0]
-        scal[0] = acc
+        if level == 4:   # static window RMW (control)
+            for r in routed:
+                stg[0:18, :] = stg[0:18, :] + r
+            acc = acc + stg[0, 0]
+        if level == 6:   # v4 + ONE unconditional tiny HBM DMA per step
+            for r in routed:
+                stg[0:18, :] = stg[0:18, :] + r
+            pltpu.make_async_copy(stg.at[0:1, :], hbm_out.at[0:1, :],
+                                  dsem.at[np.int32(0)]).start()
+            pltpu.make_async_copy(stg.at[0:1, :], hbm_out.at[0:1, :],
+                                  dsem.at[np.int32(0)]).wait()
+            acc = acc + stg[0, 0]
+        if level == 7:   # v4 + the real conditional 16-row flush cadence
+            for r in routed:
+                stg[0:18, :] = stg[0:18, :] + r
+
+            @pl.when((i & _c(15)) == _c(15))
+            def _():
+                dst = jnp.minimum(i // _c(16), _c(4096 // 16 - 1)) * _c(16)
+                pltpu.make_async_copy(stg.at[0:16, :],
+                                      hbm_out.at[pl.ds(dst, 16), :],
+                                      dsem.at[np.int32(0)]).start()
+                pltpu.make_async_copy(stg.at[0:16, :],
+                                      hbm_out.at[pl.ds(dst, 16), :],
+                                      dsem.at[np.int32(0)]).wait()
+            acc = acc + stg[0, 0]
+        if level == 5:   # dynamic row-major rotate + static full-width RMW
+            from gpu_olap_tpu.ops.pallas.routing import _lane_iota, _sub_iota
+            ls = f - fr * _c(LANES)
+            for r in routed:
+                r34 = jnp.concatenate(
+                    [r, jnp.zeros((SR - 18, LANES), jnp.int32)], axis=0)
+                y = pltpu.roll(r34, ls, 1)
+                yb = pltpu.roll(y, _c(1), 0)
+                y = jnp.where(_lane_iota(y.shape) >= ls, y, yb)
+                y = pltpu.roll(y, fr, 0)
+                stg[...] = stg[...] + y
+            acc = acc + stg[0, 0]
+        # bounded carry: f cycles in [0, 2040) so fr stays a valid offset
+        scal[0] = jnp.where(f >= _c(2040), _c(0), f + (acc & _c(7)))
         out_ref[0] = acc
 
     grid = N // SB
     spec = pl.BlockSpec((RIN, LANES), lambda i: (i, np.int32(0)),
                         memory_space=pltpu.VMEM)
+
+    def kern2(sk_ref, sv_ref, out_ref, hbm_ref, stg, scal, dsem):
+        return kern(sk_ref, sv_ref, out_ref, stg, scal, hbm_ref, dsem)
+
+
     return pl.pallas_call(
-        kern, grid=(grid,),
+        kern2, grid=(grid,),
         in_specs=[spec, spec],
-        out_specs=pl.BlockSpec((1,), lambda i: (np.int32(0),),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+        out_specs=[
+            pl.BlockSpec((1,), lambda i: (np.int32(0),),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((4096, LANES), lambda i: (np.int32(0), np.int32(0)),
+                         memory_space=pltpu.MemorySpace.HBM)],
+        out_shape=[jax.ShapeDtypeStruct((1,), jnp.int32),
+                   jax.ShapeDtypeStruct((4096, LANES), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((SR, LANES), jnp.int32),
-                        pltpu.SMEM((2,), jnp.int32)],
+                        pltpu.SMEM((2,), jnp.int32),
+                        pltpu.SemaphoreType.DMA((2,))],
     )
 
 
 a2 = ks.reshape(N // LANES, LANES)
 b2 = vs.reshape(N // LANES, LANES)
-for lvl, name in [(0, "v0_io"), (1, "v1_prep"), (2, "v2_route"),
-                  (3, "v3_stage")]:
+for lvl, name in [(4, "v4_statwin"), (6, "v6_dma1"), (7, "v7_flush16")]:
     timeit(name, make_variant(lvl), a2, b2)
 
-timeit("full", lambda a, b: seg_agg_sorted_i32(a, b, G + 8, False), ks, vs)
+

@@ -188,3 +188,76 @@ def test_arena_staging_reuse(big_parquet):
     # after the stream completes every buffer is back in the pool
     for cls in arena["classes"].values():
         assert cls["free"] == cls["allocated"]
+
+
+# ---------------------------------------------------------------------------
+# grace-join partitioned path: BOTH sides above the cache threshold
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def two_big_parquets(tmp_path_factory):
+    d = tmp_path_factory.mktemp("grace")
+    rng = np.random.default_rng(17)
+    nl, nr = 60_000, 40_000
+    lpath, rpath = str(d / "l.parquet"), str(d / "r.parquet")
+    pq.write_table(pa.table({
+        "k": rng.integers(0, 5000, nl).astype(np.int64),
+        "v": rng.integers(0, 1000, nl).astype(np.int64),
+    }), lpath)
+    pq.write_table(pa.table({
+        "k": rng.integers(0, 5000, nr).astype(np.int64),
+        "w": rng.integers(0, 1000, nr).astype(np.int64),
+    }), rpath)
+    return lpath, rpath
+
+
+def _grace_engine(lpath, rpath, **kw):
+    eng = OlapEngine(EngineConfig(
+        backend="device",
+        table_cache_threshold_rows=1000,  # NEITHER side fits
+        batch_size=8192,
+        min_shape_bucket=1024,
+        **kw,
+    ))
+    eng.load_table("l", lpath)
+    eng.load_table("r", rpath)
+    assert not eng.catalog.is_cached("l")
+    assert not eng.catalog.is_cached("r")
+    return eng
+
+
+def _grace_oracle(lpath, rpath):
+    eng = OlapEngine(EngineConfig(backend="cpu"))
+    eng.load_table("l", lpath)
+    eng.load_table("r", rpath)
+    return eng
+
+
+def test_partitioned_join_aggregate_matches_oracle(two_big_parquets):
+    lpath, rpath = two_big_parquets
+    sql = ("SELECT COUNT(*) AS n, SUM(l.v + r.w) AS s, MIN(r.w) AS mn "
+           "FROM l JOIN r ON l.k = r.k")
+    res = _grace_engine(lpath, rpath).query(sql)
+    assert res.meta["backend"] == "streaming-partitioned"
+    exp = _grace_oracle(lpath, rpath).query(sql)
+    assert res.to_pydict() == exp.to_pydict()
+
+
+def test_partitioned_join_groupby_matches_oracle(two_big_parquets):
+    lpath, rpath = two_big_parquets
+    sql = ("SELECT l.k AS k, COUNT(*) AS n, SUM(r.w) AS s "
+           "FROM l JOIN r ON l.k = r.k GROUP BY l.k")
+    eng = _grace_engine(lpath, rpath, spill_partitions=4)
+    res = eng.query(sql)
+    assert res.meta["backend"] == "streaming-partitioned"
+    got = res.to_pandas().sort_values("k").reset_index(drop=True)
+    exp = (_grace_oracle(lpath, rpath).query(sql)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got.k.tolist() == exp.k.tolist()
+    assert got.n.tolist() == exp.n.tolist()
+    assert got.s.tolist() == exp.s.tolist()
+    # spill partitions are cached per table version: re-query repartitions
+    # nothing and still answers correctly
+    res2 = eng.query(sql)
+    got2 = res2.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got2.s.tolist() == exp.s.tolist()
