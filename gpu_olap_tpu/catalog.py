@@ -132,6 +132,34 @@ class Catalog:
     def get_stats(self, name: str) -> Optional[dict]:
         return self._meta(name).stats
 
+    def ensure_sorted_stat(self, name: str, col: str) -> bool:
+        """Lazily computed + cached column sortedness (nondecreasing,
+        null-free) — enables the pre-sorted sort-merge join strategy
+        (reference join_kernel.rs:10-14: SortMergeJoin for pre-sorted
+        data)."""
+        meta = self._meta(name)
+        if meta.stats is None:
+            return False
+        key = ("__sorted__", col)
+        if key in meta.stats:
+            return meta.stats[key]
+        result = False
+        if meta.data_cache is not None:
+            import numpy as np
+
+            try:
+                column = meta.data_cache.column_by_name(col)
+                if column.validity is None and column.dictionary is None:
+                    data = np.asarray(column.data)
+                    if data.dtype.kind in "iu" and len(data) > 1:
+                        result = bool(np.all(data[1:] >= data[:-1]))
+                    elif data.dtype.kind in "iu":
+                        result = True
+            except KeyError:
+                pass
+        meta.stats[key] = result
+        return result
+
     def ensure_unique_stat(self, name: str, col: str) -> bool:
         """Lazily computed + cached column uniqueness (key-column statistic
         enabling lookup joins)."""

@@ -581,9 +581,11 @@ class _Interpreter:
         lkeys = [self._key_of(k, left) for k in plan.left_keys]
         rkeys = [self._key_of(k, right) for k in plan.right_keys]
         fold_range = self._fold_range(plan, lkeys, rkeys)
-        # expansion-free lookup join: unique, range-bounded build key
-        # ("sort_merge" strategy forces the sorted-probe core path)
-        if plan.strategy != "sort_merge":
+        # expansion-free lookup join: unique, range-bounded build key.
+        # An EXPLICIT "sort_merge" config override forces the sorted-probe
+        # core path; the auto-selected pre-sorted strategy keeps it (the
+        # lookup join is strictly faster when eligible)
+        if plan.strategy != "sort_merge" or plan.build_sorted_asc:
             lookup = self._try_lookup_join(plan, left, right, lkeys, rkeys)
             if lookup is not None:
                 return lookup
@@ -601,6 +603,10 @@ class _Interpreter:
         li, ri, out_valid, total, overflow, cnt = join_ops.inner_join(
             lkeys, left.row_valid, rkeys, right.row_valid, capacity,
             fold_range=fold_range,
+            # stats-proven sorted build key on a direct scan: row validity
+            # is absent or the padded-tail prefix, so the build sort is a
+            # sentinel mask (join_kernel.rs:10-14)
+            build_presorted=plan.build_sorted_asc,
         )
         self._push_flag(cap_key, overflow)
 

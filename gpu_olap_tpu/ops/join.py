@@ -78,19 +78,29 @@ def densify_keys(
     return dense[:nl], dense[nl:]
 
 
-def build_sorted(build_code: jnp.ndarray, build_invalid: jnp.ndarray):
+def build_sorted(build_code: jnp.ndarray, build_invalid: jnp.ndarray,
+                 presorted: bool = False):
     """Sort the build side by key; invalid rows sink to the tail.
+
+    ``presorted``: catalog statistics prove the key column is already
+    nondecreasing and null-free with invalid rows (if any) only in the
+    padded tail (reference ``join_kernel.rs:10-14``: SortMergeJoin for
+    pre-sorted data) — the 3-operand sort collapses to a sentinel mask.
 
     Returns (sorted_keys (tail = key_top sentinel), sorted_row_ids (int32),
     n_valid)."""
     nb = build_code.shape[0]
     arange = jnp.arange(nb, dtype=jnp.int32)
+    from .dtypes import key_top
+
+    top = jnp.asarray(key_top(build_code.dtype), dtype=build_code.dtype)
+    if presorted:
+        nbv = nb - jnp.sum(build_invalid.astype(jnp.int64))
+        sk = jnp.where(arange < nbv, build_code, top)
+        return sk, arange, nbv
     inv = build_invalid.astype(jnp.int32)
     sk_inv, sk, srow = jax.lax.sort((inv, build_code, arange), num_keys=2)
     nbv = nb - jnp.sum(sk_inv.astype(jnp.int64))
-    from .dtypes import key_top
-
-    top = jnp.asarray(key_top(sk.dtype), dtype=sk.dtype)
     sk = jnp.where(arange < nbv, sk, top)
     return sk, srow, nbv
 
@@ -308,6 +318,7 @@ def inner_join(
     single_key_fast: bool = True,
     build_range=None,
     fold_range=None,
+    build_presorted: bool = False,
 ):
     """Inner equi-join.  Probe = left, build = right.
 
@@ -315,7 +326,9 @@ def inner_join(
     lcode, linv, rcode, rinv = _prepare_codes(
         left_keys, left_rowvalid, right_keys, right_rowvalid, single_key_fast
     )
-    sk, srow, nbv = build_sorted(rcode, rinv)
+    sk, srow, nbv = build_sorted(rcode, rinv,
+                                 presorted=build_presorted
+                                 and len(right_keys) == 1)
     # the merge probe beats the direct-address table at essentially every
     # shape (two co-sorts vs a searchsorted-built table plus two probe-sized
     # gathers — measured 92M rows/s vs ~50M at 25Mx25M); direct_probe remains

@@ -31,7 +31,8 @@ def _hist_kernel(shift_ref, keys_ref, hist_ref):
     hist_ref[:] = jnp.sum(onehot, axis=0, keepdims=True)
 
 
-def radix_histogram_i32(keys: jnp.ndarray, shift: int = 0) -> jnp.ndarray:
+def radix_histogram_i32(keys: jnp.ndarray, shift: int = 0,
+                        interpret: bool = False) -> jnp.ndarray:
     """256-bin histogram of ``(key >> shift) & 0xFF`` over an int32 array.
 
     Returns int64 counts (256,).  Keys must be non-negative in the shifted
@@ -53,6 +54,7 @@ def radix_histogram_i32(keys: jnp.ndarray, shift: int = 0) -> jnp.ndarray:
         out_specs=pl.BlockSpec((1, _BINS), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid, _BINS), jnp.int32),
+        interpret=interpret,
     )(jnp.asarray([shift], dtype=jnp.int32), keys)
     total = jnp.sum(hists.astype(jnp.int64), axis=0)
     pad_count = n_pad - n

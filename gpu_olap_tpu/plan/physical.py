@@ -163,6 +163,9 @@ class TpuHashJoin(PhysicalPlan):
     join_type: str      # inner | left | right | full | cross
     strategy: str       # one of JOIN_STRATEGIES
     residual: Optional[PhysExpr] = None  # non-equi conjuncts evaluated post-join
+    # statistics-proven: the build key column is already sorted ascending
+    # (null-free) — the executor skips the build-side sort entirely
+    build_sorted_asc: bool = False
 
     def inputs(self):
         return (self.left, self.right)
@@ -500,11 +503,33 @@ class _Planner:
             from .optimizer import conjoin
             residual_expr = lower_expr(conjoin(residual), out_schema)
 
-        strategy = self._choose_join_strategy(left, right)
+        presorted = self._build_key_sorted(right, right_keys)
+        strategy = self._choose_join_strategy(left, right, presorted)
         return TpuHashJoin(
             out_schema, left, right, tuple(left_keys), tuple(right_keys),
             node.join_type, strategy, residual_expr,
+            build_sorted_asc=presorted,
         )
+
+    def _build_key_sorted(self, right: PhysicalPlan,
+                          right_keys: List[PhysExpr]) -> bool:
+        """Sortedness statistic for the build key (single plain column on a
+        direct scan): reference ``join_kernel.rs:10-14`` documents
+        SortMergeJoin "for pre-sorted data" but has no statistic; here the
+        catalog proves it lazily and the executor skips the build sort."""
+        if len(right_keys) != 1 or not isinstance(right, TpuTableScan):
+            return False
+        rk = right_keys[0]
+        if not isinstance(rk, ColumnRef):
+            return False
+        sch = self.catalog.get_schema(right.table_name)
+        ti = (rk.index if right.projection is None
+              else right.projection[rk.index])
+        try:
+            return self.catalog.ensure_sorted_stat(right.table_name,
+                                                   sch.field(ti).name)
+        except Exception:
+            return False
 
     def _equi_pair(self, e: L.Expr, lschema: Schema, rschema: Schema):
         if not (isinstance(e, L.BinaryOp) and e.op == "="):
@@ -526,8 +551,11 @@ class _Planner:
             return lr, rl
         return None
 
-    def _choose_join_strategy(self, left: PhysicalPlan, right: PhysicalPlan) -> str:
-        """Strategy choice (reference ``join_kernel.rs:71-77`` thresholds)."""
+    def _choose_join_strategy(self, left: PhysicalPlan, right: PhysicalPlan,
+                              presorted: bool = False) -> str:
+        """Strategy choice (reference ``join_kernel.rs:71-77`` thresholds;
+        pre-sorted build keys auto-select sort-merge per
+        ``join_kernel.rs:10-14``)."""
         if self.config.join_strategy is not None:
             if self.config.join_strategy not in JOIN_STRATEGIES:
                 raise PlanError(f"Unknown join strategy {self.config.join_strategy!r}")
@@ -535,6 +563,8 @@ class _Planner:
         build_rows = self._estimate_rows(right)
         if build_rows is not None and build_rows <= self.config.broadcast_join_threshold:
             return "broadcast_hash"
+        if presorted:
+            return "sort_merge"
         return "radix_hash"
 
     def _estimate_rows(self, plan: PhysicalPlan) -> Optional[int]:

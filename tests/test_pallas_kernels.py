@@ -280,3 +280,19 @@ def test_expand_fill_long_runs_and_block_spans():
     exp_off = np.arange(total) - starts.astype(np.int64)[exp_rec]
     np.testing.assert_array_equal(off, exp_off)
     np.testing.assert_array_equal(fa, va[exp_rec])
+
+
+def test_partition_histogram_routes_through_pallas():
+    """>=32K-row capacity planning engages the Pallas radix histogram
+    (engine consumer for ops/pallas/partition.py) — counter + parity."""
+    from gpu_olap_tpu.ops.hashing import partition_of
+    from gpu_olap_tpu.parallel import skew
+    from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
+
+    rng = np.random.default_rng(5)
+    keys = jax.numpy.asarray(rng.integers(0, 1 << 30, 50_000).astype(np.int32))
+    before = GLOBAL_METRICS.counters.get("pallas_radix_hist_trace", 0)
+    hist = np.asarray(skew.partition_histogram(keys, 8))
+    assert GLOBAL_METRICS.counters.get("pallas_radix_hist_trace", 0) > before
+    dest = np.asarray(partition_of(keys, 8))
+    np.testing.assert_array_equal(hist, np.bincount(dest, minlength=8))
