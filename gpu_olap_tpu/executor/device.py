@@ -600,14 +600,33 @@ class _Interpreter:
         )
         self.meta["capacities"][cap_key] = capacity
 
-        li, ri, out_valid, total, overflow, cnt = join_ops.inner_join(
-            lkeys, left.row_valid, rkeys, right.row_valid, capacity,
-            fold_range=fold_range,
-            # stats-proven sorted build key on a direct scan: row validity
-            # is absent or the padded-tail prefix, so the build sort is a
-            # sentinel mask (join_kernel.rs:10-14)
-            build_presorted=plan.build_sorted_asc,
-        )
+        li = None
+        if (plan.join_type == "inner" and self.config.use_pallas
+                and len(lkeys) == 1 and fold_range is not None):
+            lc, li_inv, rc, ri_inv = join_ops._prepare_codes(
+                lkeys, left.row_valid, rkeys, right.row_valid, True)
+            span_ok = (lc.dtype == jnp.int32 and rc.dtype == jnp.int32
+                       and 2 * (int(fold_range[1]) - int(fold_range[0])) + 2
+                       < np.iinfo(np.int32).max - 2)
+            if span_ok and nl + nr >= (1 << 15):
+                # sorted-space Pallas emission (kills the restore sort, the
+                # serialized repeat-scatter, and randomizes nothing)
+                interpret = jax.default_backend() != "tpu"
+                (li, ri, out_valid, total, overflow,
+                 _rord, _bpos, _rpid, _brows, _nrec) = \
+                    join_ops.inner_join_stream(
+                        lc, li_inv, rc, ri_inv, capacity, fold_range,
+                        interpret)
+                GLOBAL_METRICS.bump("pallas_join_stream_trace")
+        if li is None:
+            li, ri, out_valid, total, overflow, cnt = join_ops.inner_join(
+                lkeys, left.row_valid, rkeys, right.row_valid, capacity,
+                fold_range=fold_range,
+                # stats-proven sorted build key on a direct scan: row
+                # validity is absent or the padded-tail prefix, so the
+                # build sort is a sentinel mask (join_kernel.rs:10-14)
+                build_presorted=plan.build_sorted_asc,
+            )
         self._push_flag(cap_key, overflow)
 
         if plan.join_type in ("left", "right", "full"):

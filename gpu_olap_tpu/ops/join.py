@@ -411,3 +411,96 @@ def outer_extend(join_type: str, li, ri, out_valid, total,
     # themselves; overall validity is just the concatenation
     out_valid = jnp.concatenate(parts_valid)
     return li, ri, out_valid, total
+
+
+def inner_join_stream(lcode, linv, rcode, rinv, capacity: int,
+                      fold_range, interpret: bool = False):
+    """Inner equi-join emitting pairs in merge-sorted order — the Pallas
+    streaming pipeline (round-3 redesign of the radix hash join's emission,
+    ``join_kernels.cuh:115-166``).
+
+    The round-1/2 pipeline paid three capacity-scale costs on TPU: a
+    3-operand restore sort back to probe order, ``jnp.repeat``'s hidden
+    serialized scatter, and random capacity-sized gathers (~90M elem/s).
+    Staying in sorted space kills the restore sort, the decode runs as a
+    streaming Pallas kernel, and the emitted build positions are nearly
+    monotone.
+
+    Requires: int32-foldable keys (``fold_range``), padded sizes multiple
+    of 2048.  Returns (li, ri, out_valid, total, overflow, rord, bpos,
+    probe_rows, build_rows, n_rec) — li/ri are ORIGINAL row ids like
+    ``inner_join``; the extra streams let the executor gather payload
+    columns through sorted intermediates (rord is each output slot's dense
+    record ordinal, bpos its dense build position).
+    """
+    from .pallas.join_stream import SB, expand_fill_i32, stream_compact_i32
+
+    nb = rcode.shape[0]
+    npr = lcode.shape[0]
+    n = nb + npr
+    npad = (-n) % SB
+    capacity = -(-capacity // SB) * SB
+    lo32 = np.int32(fold_range[0])
+    i32max = np.int32(np.iinfo(np.int32).max)
+
+    # ---- tagged co-sort: ONE int32 key lane + ONE int32 payload ----------
+    key = (jnp.concatenate([rcode, lcode]) - lo32) * 2
+    key = key + jnp.concatenate([
+        jnp.zeros(nb, dtype=jnp.int32), jnp.ones(npr, dtype=jnp.int32)])
+    inv = jnp.concatenate([rinv, linv])
+    key = jnp.where(inv, i32max, key)
+    rowid = jnp.concatenate([jnp.arange(nb, dtype=jnp.int32),
+                             jnp.arange(npr, dtype=jnp.int32)])
+    if npad:
+        key = jnp.concatenate([key, jnp.full(npad, i32max, jnp.int32)])
+        rowid = jnp.concatenate([rowid, jnp.zeros(npad, jnp.int32)])
+    key_s, rowid_s = jax.lax.sort((key, rowid), num_keys=1)
+
+    valid_e = key_s != i32max
+    is_build = ((key_s & 1) == 0) & valid_e
+    is_probe = ((key_s & 1) == 1) & valid_e
+    run_key = key_s >> 1
+    newflag = jnp.concatenate([jnp.ones(1, dtype=bool),
+                               run_key[1:] != run_key[:-1]])
+    cb = jnp.cumsum(is_build.astype(jnp.int32))
+    run_base = jax.lax.cummax(
+        jnp.where(newflag, cb - is_build.astype(jnp.int32), jnp.int32(-1)))
+    pm = jnp.where(is_probe, cb - run_base, 0)     # matches per probe elem
+    starts = jnp.cumsum(pm) - pm                   # int32: capacity < 2^31
+    total = jnp.sum(pm.astype(jnp.int64))
+    overflow = total > capacity
+
+    # ---- compact records + build rows (ONE fused Pallas pass) -----------
+    # record streams: (start, lo, probe rowid); build stream: rowid.
+    # Both compactions share the masks' block structure but differ in mask,
+    # so run the 4 streams through one kernel invocation each.
+    (rec_start, rec_lo, rec_pid), n_rec = stream_compact_i32(
+        (pm > 0).astype(jnp.int32), [starts, run_base, rowid_s],
+        npr, interpret)
+    (b_rows,), _nbv = stream_compact_i32(
+        is_build.astype(jnp.int32), [rowid_s], nb, interpret)
+
+    # sentinel-mask garbage records past n_rec (expand contract), and give
+    # the record array the required 2304-slot sentinel headroom
+    m_rec = rec_start.shape[0]
+    need = m_rec - 2304
+    ridx = jnp.arange(m_rec, dtype=jnp.int32)
+    rec_start = jnp.where(ridx < n_rec, rec_start, i32max)
+    if need < 0 or m_rec % SB != 0:
+        pad = (-m_rec) % SB + (SB * 2 if need < 0 else 0)
+        rec_start = jnp.concatenate(
+            [rec_start, jnp.full(pad, i32max, jnp.int32)])
+        rec_lo = jnp.concatenate([rec_lo, jnp.zeros(pad, jnp.int32)])
+        rec_pid = jnp.concatenate([rec_pid, jnp.zeros(pad, jnp.int32)])
+
+    rord_src = jnp.arange(rec_start.shape[0], dtype=jnp.int32)
+    off, lo_f, pid_f, rord = expand_fill_i32(
+        rec_start, [rec_lo, rec_pid, rord_src], capacity, interpret)
+
+    bpos = jnp.clip(lo_f + off, 0, nb - 1)
+    slot = jnp.arange(capacity, dtype=jnp.int64)
+    out_valid = slot < total
+    li = pid_f.astype(jnp.int64)
+    ri = b_rows[bpos].astype(jnp.int64)
+    return (li, ri, out_valid, total, overflow,
+            rord, bpos, rec_pid, b_rows, n_rec)

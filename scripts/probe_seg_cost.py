@@ -123,6 +123,41 @@ def make_variant(level):
                                       hbm_out.at[pl.ds(dst, 16), :],
                                       dsem.at[np.int32(0)]).wait()
             acc = acc + stg[0, 0]
+        if level == 8:   # v7 + per-step scalar reads from VMEM input refs
+            for r in routed:
+                stg[0:18, :] = stg[0:18, :] + r
+            scal[1] = sk_ref[15, 127]
+            acc = acc + stg[0, 0] + sv_ref[15, 127]
+        if level == 9:   # v7 + the full routed-space algebra (no scalar reads)
+            from gpu_olap_tpu.ops.pallas.routing import (
+                _add64, _shift_left, _split64, _shift_right1 as _sr1)
+            rkey, rmin, rpv, ridx, rclo, rchi = routed
+            rel18 = _pos_iota(18)
+            d_open = relf + _sum_i32(m32) - _c(1)
+            start = jnp.maximum(relf - _c(1), _c(0))
+            occ_open = rel18 == d_open
+            occ_closed = (rel18 >= start) & (rel18 < d_open)
+            occ = occ_closed | occ_open
+            tot_lo = _sum_i32(lo16); tot_hi = _sum_i32(hi16)
+            r_ext = jnp.where(occ_open, _c(2047), _shift_left(ridx, 1))
+            clo_x = jnp.where(occ_open, tot_lo, _shift_left(rclo, 1))
+            chi_x = jnp.where(occ_open, tot_hi, _shift_left(rchi, 1))
+            maxc = jnp.where(occ_closed, _shift_left(rpv, 1), _c(0))
+            at_start = rel18 == start
+            r_left = jnp.where(at_start, _c(-1), _sr1(r_ext, _c(0)))
+            clo_l = jnp.where(at_start, _c(0), _sr1(clo_x, _c(0)))
+            chi_l = jnp.where(at_start, _c(0), _sr1(chi_x, _c(0)))
+            occ32 = occ.astype(jnp.int32)
+            cnt_c = (r_ext - r_left) * occ32
+            slo_c = (clo_x - clo_l) * occ32
+            shi_c = (chi_x - chi_l) * occ32
+            shx_hi, shx_lo = _split64(shi_c, 16)
+            p_hi, p_lo = _add64(shx_hi, shx_lo, jnp.zeros_like(slo_c), slo_c)
+            for r in (rkey, rmin, maxc, cnt_c):
+                stg[0:18, :] = stg[0:18, :] + r
+            s_hi, s_lo = _add64(stg[0:18, :], stg[0:18, :], p_hi, p_lo)
+            stg[0:18, :] = s_lo
+            acc = acc + stg[0, 0] + _sum_i32(s_hi[:1])
         if level == 5:   # dynamic row-major rotate + static full-width RMW
             from gpu_olap_tpu.ops.pallas.routing import _lane_iota, _sub_iota
             ls = f - fr * _c(LANES)
@@ -165,7 +200,7 @@ def make_variant(level):
 
 a2 = ks.reshape(N // LANES, LANES)
 b2 = vs.reshape(N // LANES, LANES)
-for lvl, name in [(4, "v4_statwin"), (6, "v6_dma1"), (7, "v7_flush16")]:
+for lvl, name in [(8, "v8_scalreads"), (9, "v9_algebra")]:
     timeit(name, make_variant(lvl), a2, b2)
 
 

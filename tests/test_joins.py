@@ -42,3 +42,62 @@ def test_presorted_stat_respects_nulls_and_order():
                        "b": np.array([1, 2, 3], dtype=np.int64)})
     assert eng.catalog.ensure_sorted_stat("t", "a") is False
     assert eng.catalog.ensure_sorted_stat("t", "b") is True
+
+
+def test_stream_join_engages_and_matches_oracle():
+    """>=32K-row int32-foldable inner joins route through the Pallas
+    sorted-space emission (inner_join_stream) — counter + exact parity."""
+    import numpy as np
+
+    from gpu_olap_tpu import EngineConfig, OlapEngine
+    from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
+
+    rng = np.random.default_rng(33)
+    nl = nr = 40_000
+    nkeys = nr // 2
+    lk = rng.integers(0, nkeys, nl).astype(np.int64)
+    rk = rng.integers(0, nkeys, nr).astype(np.int64)
+    lv = rng.integers(0, 1000, nl).astype(np.int64)
+    rw = rng.integers(0, 1000, nr).astype(np.int64)
+
+    def mk(backend):
+        eng = OlapEngine(EngineConfig(backend=backend, join_expansion=2.5,
+                                      min_shape_bucket=1 << 14))
+        eng.register("l", {"k": lk, "v": lv})
+        eng.register("r", {"k": rk, "w": rw})
+        return eng
+
+    sql = ("SELECT COUNT(*) AS n, SUM(l.v + r.w) AS s, MIN(l.v - r.w) AS mn "
+           "FROM l JOIN r ON l.k = r.k")
+    before = GLOBAL_METRICS.counters.get("pallas_join_stream_trace", 0)
+    got = mk("device").query(sql).to_pydict()
+    assert GLOBAL_METRICS.counters.get("pallas_join_stream_trace", 0) > before
+    exp = mk("cpu").query(sql).to_pydict()
+    assert got == exp
+
+
+def test_stream_join_grouped_parity():
+    import numpy as np
+
+    from gpu_olap_tpu import EngineConfig, OlapEngine
+
+    rng = np.random.default_rng(34)
+    nl, nr = 50_000, 30_000
+    nkeys = 300  # heavy duplication both sides
+    lk = rng.integers(0, nkeys, nl).astype(np.int64)
+    rk = rng.integers(0, nkeys, nr).astype(np.int64)
+    rg = rng.integers(0, 7, nr).astype(np.int64)
+
+    def mk(backend):
+        eng = OlapEngine(EngineConfig(backend=backend, join_expansion=600.0,
+                                      min_shape_bucket=1 << 14))
+        eng.register("l", {"k": lk})
+        eng.register("r", {"k": rk, "g": rg})
+        return eng
+
+    sql = ("SELECT r.g AS g, COUNT(*) AS n FROM l JOIN r ON l.k = r.k "
+           "GROUP BY r.g")
+    got = mk("device").query(sql).to_pandas().sort_values("g").reset_index(drop=True)
+    exp = mk("cpu").query(sql).to_pandas().sort_values("g").reset_index(drop=True)
+    assert got.g.tolist() == exp.g.tolist()
+    assert got.n.tolist() == exp.n.tolist()
