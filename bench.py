@@ -103,7 +103,12 @@ def _roofline(res: dict):
     """Effective scan bandwidth of the device program: table input bytes
     (each input byte counted ONCE) / device-program wall seconds, as a
     fraction of the per-chip HBM roofline.  Multi-pass operators touch HBM
-    more than once, so this is a conservative lower bound on achieved BW."""
+    more than once, so this is a conservative lower bound on achieved BW.
+
+    Also records rows_per_sec_device (rows / device-program seconds):
+    end-to-end rates here include pulling results through the ~35 MB/s
+    debug relay, which stands in for the reference's assumed 16 GB/s PCIe
+    link — a ~400x environment artifact on result-heavy configs."""
     from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
 
     ex = res.get("exec_seconds")
@@ -113,6 +118,8 @@ def _roofline(res: dict):
         res["scan_gbps"] = round(gbps, 2)
         res["scan_roofline_frac"] = round(
             by / ex / GLOBAL_METRICS.hbm_bandwidth, 4)
+    if ex and res.get("rows"):
+        res["rows_per_sec_device"] = round(res["rows"] / ex, 1)
     return res
 
 
