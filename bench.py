@@ -48,7 +48,12 @@ BASELINES = {
     "sortmerge": 48.8e6,     # rows/s sort-merge join
 }
 
-CONFIG_ORDER = ["join", "groupby", "filter_agg", "sortmerge", "join_lookup"]
+# RUN order: configs with warm compile caches first, so a cold-compile
+# timeout on the heavy configs cannot eat the whole time budget before any
+# fresh number lands.  The HEADLINE preference (honest join first) is
+# separate: HEADLINE_ORDER below.
+CONFIG_ORDER = ["filter_agg", "sortmerge", "join_lookup", "groupby", "join"]
+HEADLINE_ORDER = ["join", "groupby", "filter_agg", "sortmerge", "join_lookup"]
 
 
 # ======================================================================
@@ -496,8 +501,10 @@ def main():
     ap.add_argument("--only", type=str, default=None,
                     help="run a single named config (still subprocess-isolated)")
     ap.add_argument("--child", type=str, default=None, help="(internal)")
-    ap.add_argument("--child-timeout", type=float, default=2700.0,
-                    help="per-config subprocess timeout (seconds)")
+    ap.add_argument("--child-timeout", type=float, default=3300.0,
+                    help="per-config subprocess timeout (seconds); cold "
+                         "whole-plan compiles through the remote relay can "
+                         "take tens of minutes")
     ap.add_argument("--cooldown", type=float, default=330.0,
                     help="wait after a crashed config (TPU relay claim expiry)")
     ap.add_argument("--tpu-smoke", action="store_true",
@@ -601,7 +608,7 @@ def main():
         json.dump(payload, f, indent=2, default=str)
     print(f"# full results -> {out_path} ({device})", file=sys.stderr)
 
-    for pick in CONFIG_ORDER:
+    for pick in HEADLINE_ORDER:
         if pick in results:  # fresh numbers only — stale ones don't headline
             headline = results[pick]
             break

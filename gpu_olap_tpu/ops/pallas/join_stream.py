@@ -167,8 +167,9 @@ def stream_compact_i32(mask, streams, cap: int, interpret: bool = False):
 # run-length expansion (the pair-emission decode)
 # ======================================================================
 
-EWIN = 17                   # record window rows per step (2176 records)
-EDR = RIN + EWIN + 1        # routing domain rows: 16 target + 17 source + 1
+EWIN = 24                   # record window rows per step (3072 records);
+                            # multiple of 8 (VMEM sublane tiling)
+EDR = RIN + EWIN            # routing domain rows: 16 targets + 24 sources
 
 def _expand_kernel(nstr, starts_hbm, *rest):
     ins_hbm = rest[:nstr]
@@ -237,9 +238,12 @@ def _expand_kernel(nstr, starts_hbm, *rest):
         o[...] = v
 
     # ---- carries ---------------------------------------------------------
+    # scalar reads go through REFS (computed-vreg extracts fault Mosaic):
+    # start_f is recoverable from the off output, streams from their outs
     scal[0] = rp + consumed
-    for j in range(nstr + 1):
-        scal[1 + j] = fvals[j][RIN - 1, LANES - 1]
+    scal[1] = (base + _c(SB - 1)) - o_off[RIN - 1, LANES - 1]
+    for j in range(nstr):
+        scal[2 + j] = o_str[j][RIN - 1, LANES - 1]
 
 
 def expand_fill_i32(starts, streams, cap: int, interpret: bool = False):
