@@ -16,6 +16,17 @@ the relay claim (~5 min) and continues with the rest.  bench_results.json is
 MERGED with the previous run — a failed config keeps its last good number
 (marked stale) instead of erasing it.
 
+Driver-capture guarantees (round-3 lesson — the driver's window is shorter
+than a full cold run, and `timeout` kills with SIGTERM):
+  * bench_results.json is rewritten after EVERY config, not at exit;
+  * a recent tpu_smoke.json (<72 h) is reused instead of re-running the
+    1800 s Pallas parity gate;
+  * headline configs (join, groupby) run FIRST; the soft budget defaults
+    to 1500 s and later configs are skipped over budget;
+  * SIGTERM/SIGINT land in a handler that kills the in-flight child,
+    writes merged results, and still prints the headline JSON line
+    (falling back to the newest stale number if nothing fresh landed).
+
 Pallas gate: ``--tpu-smoke`` (also run automatically before full benches on
 TPU) asserts filter_agg and seg_agg parity vs an XLA oracle ON THE REAL
 DEVICE; seg_agg only re-enables for the bench run when its smoke passes
@@ -48,12 +59,14 @@ BASELINES = {
     "sortmerge": 48.8e6,     # rows/s sort-merge join
 }
 
-# RUN order: configs with warm compile caches first, so a cold-compile
-# timeout on the heavy configs cannot eat the whole time budget before any
-# fresh number lands.  The HEADLINE preference (honest join first) is
-# separate: HEADLINE_ORDER below.
-CONFIG_ORDER = ["filter_agg", "sortmerge", "join_lookup", "groupby", "join"]
+# RUN order == HEADLINE order (round-3 lesson): the driver's window may not
+# fit all configs, so the configs we most want on the official record (honest
+# join, groupby) go FIRST — their compile caches are the ones kept warm
+# during development, and a budget skip then only costs the minor configs.
 HEADLINE_ORDER = ["join", "groupby", "filter_agg", "sortmerge", "join_lookup"]
+CONFIG_ORDER = list(HEADLINE_ORDER)
+
+SMOKE_MAX_AGE_S = 72 * 3600.0  # reuse tpu_smoke.json this recent
 
 
 # ======================================================================
@@ -385,9 +398,30 @@ def tpu_smoke():
 # parent-side orchestration
 # ======================================================================
 
+class _Interrupted(Exception):
+    """Raised from the SIGTERM/SIGINT handler so the parent can still write
+    merged results and print the headline line before dying (round-3 lesson:
+    the driver kills with `timeout`, and a silent death records nothing)."""
+
+
+def _install_signal_handlers():
+    import signal
+
+    def _handler(signum, frame):  # noqa: ARG001
+        raise _Interrupted(f"signal {signum}")
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _handler)
+        except (ValueError, OSError):
+            pass
+
+
 def _run_child(name: str, args, extra_env=None, timeout=None):
     """Run one workload in a fresh subprocess; returns (result|None, status).
-    stderr is passed through; the result rides a sentinel line on stdout."""
+    stderr is passed through; the result rides a sentinel line on stdout.
+    The child runs in its own process group so a timeout or parent SIGTERM
+    reliably kills the TPU-holding process tree."""
     cmd = [sys.executable, os.path.abspath(__file__), "--child", name,
            "--iters", str(args.iters), "--scale", str(args.scale)]
     if args.quick:
@@ -395,13 +429,18 @@ def _run_child(name: str, args, extra_env=None, timeout=None):
     env = dict(os.environ)
     if extra_env:
         env.update(extra_env)
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=None,
+                            env=env, start_new_session=True)
     try:
-        proc = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=None,
-                              env=env, timeout=timeout or args.child_timeout)
+        out, _ = proc.communicate(timeout=timeout or args.child_timeout)
     except subprocess.TimeoutExpired:
+        _kill_child(proc)
         return None, "timeout"
+    except BaseException:  # _Interrupted / KeyboardInterrupt
+        _kill_child(proc)
+        raise
     result = None
-    for line in proc.stdout.decode(errors="replace").splitlines():
+    for line in out.decode(errors="replace").splitlines():
         if line.startswith(RESULT_SENTINEL):
             try:
                 result = json.loads(line[len(RESULT_SENTINEL):])
@@ -414,6 +453,22 @@ def _run_child(name: str, args, extra_env=None, timeout=None):
     if "error" in result:
         return None, result["error"]
     return result, "ok"
+
+
+def _kill_child(proc):
+    import signal
+
+    try:
+        os.killpg(proc.pid, signal.SIGKILL)
+    except (ProcessLookupError, PermissionError, OSError):
+        try:
+            proc.kill()
+        except OSError:
+            pass
+    try:
+        proc.wait(timeout=10)
+    except subprocess.TimeoutExpired:
+        pass
 
 
 def _child_main(name: str, args):
@@ -496,8 +551,10 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--scale", type=float, default=1.0,
                     help="scale factor on row counts")
-    ap.add_argument("--budget", type=float, default=5400.0,
-                    help="soft time budget (seconds); later configs skipped")
+    ap.add_argument("--budget", type=float, default=1500.0,
+                    help="soft time budget (seconds); later configs skipped "
+                         "— sized for the driver's window, raise for full "
+                         "cold-cache campaigns")
     ap.add_argument("--only", type=str, default=None,
                     help="run a single named config (still subprocess-isolated)")
     ap.add_argument("--child", type=str, default=None, help="(internal)")
@@ -528,16 +585,36 @@ def main():
 
     t0 = time.time()
     on_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
+    _install_signal_handlers()
+
+    def remaining():
+        return args.budget - (time.time() - t0)
 
     # ---- Pallas hardware parity gate ---------------------------------
+    # A recent smoke result is reused: the gate costs up to 30 min of cold
+    # Pallas compiles and its verdict (kernel X parity-clean on device Y)
+    # does not change between runs on the same chip.
     smoke = None
     extra_env = {}
     if not args.no_smoke and not on_cpu:
-        smoke, status = _run_child("tpu_smoke", args, timeout=1800)
-        print(f"# tpu_smoke: {status} {smoke}", file=sys.stderr)
+        smoke = _load_cached_smoke()
+        if smoke is not None and not args.tpu_smoke:
+            print(f"# tpu_smoke: cached ({smoke.get('device')})",
+                  file=sys.stderr)
+        else:
+            smoke = None
+        if smoke is None:
+            try:
+                smoke, status = _run_child(
+                    "tpu_smoke", args,
+                    timeout=min(1800.0, max(remaining() * 0.6, 300.0)))
+            except _Interrupted:
+                smoke, status = None, "interrupted"
+            print(f"# tpu_smoke: {status} {smoke}", file=sys.stderr)
+            if smoke is not None:
+                with open("tpu_smoke.json", "w") as f:
+                    json.dump(smoke, f, indent=2)
         if smoke is not None:
-            with open("tpu_smoke.json", "w") as f:
-                json.dump(smoke, f, indent=2)
             if not smoke.get("filter_agg_ok", False):
                 print("# WARNING: filter_agg Pallas kernel FAILED hardware "
                       "parity — disabling Pallas for this run", file=sys.stderr)
@@ -549,11 +626,11 @@ def main():
                       "staying on the XLA GROUP BY path", file=sys.stderr)
                 extra_env["GPU_OLAP_SEG_AGG"] = "0"
         else:
-            # gate itself crashed: quarantine all Pallas, wait out the claim
-            print("# WARNING: tpu_smoke crashed — disabling Pallas, waiting "
-                  f"{args.cooldown:.0f}s for the relay claim", file=sys.stderr)
+            # gate crashed or was cut short: quarantine all Pallas (the XLA
+            # paths are always safe) and keep going — no cooldown gamble
+            print("# WARNING: no smoke verdict — disabling Pallas for this "
+                  "run", file=sys.stderr)
             extra_env["GPU_OLAP_USE_PALLAS"] = "0"
-            time.sleep(args.cooldown)
     if args.tpu_smoke:
         ok = bool(smoke and smoke.get("filter_agg_ok") and
                   smoke.get("seg_agg_ok"))
@@ -568,51 +645,97 @@ def main():
     if args.only:
         plan = [args.only]
 
-    results, statuses = {}, {}
-    for name in plan:
-        if results and time.time() - t0 > args.budget:
-            print(f"# skipping {name}: over time budget", file=sys.stderr)
-            statuses[name] = "skipped_budget"
-            continue
-        res, status = _run_child(name, args, extra_env=extra_env)
-        statuses[name] = status
-        if res is not None:
-            res["vs_baseline"] = res["rows_per_sec"] / BASELINES[name]
-            results[name] = res
-            print(f"# {name}: {res}", file=sys.stderr)
-        else:
-            print(f"# {name} FAILED: {status}", file=sys.stderr)
-            if not on_cpu and status != "skipped_budget":
-                # a dead TPU child leaves a relay claim (~5 min): wait it out
-                # so the NEXT config starts on a clean device
-                print(f"# cooling down {args.cooldown:.0f}s (relay claim)",
-                      file=sys.stderr)
-                time.sleep(args.cooldown)
-
     # quick/scaled runs keep their own history file so a full-scale failure
     # never falls back to a small-scale number (and vice versa)
     out_path = ("bench_results_quick.json" if args.quick or args.scale != 1.0
                 else "bench_results.json")
-    merged = _merge_results(results, statuses, out_path)
-    device = next((r.get("device") for r in results.values()
-                   if r.get("device")), "unknown")
-    hbm = next((r.get("hbm_roofline_bytes_per_sec")
-                for r in results.values()
-                if r.get("hbm_roofline_bytes_per_sec")), None)
-    payload = {"device": device, "total_seconds": time.time() - t0,
-               "hbm_roofline_bytes_per_sec": hbm,
-               "scale": args.scale, "quick": args.quick,
-               "statuses": statuses, "pallas_env": extra_env,
-               "results": merged}
-    with open(out_path, "w") as f:
-        json.dump(payload, f, indent=2, default=str)
-    print(f"# full results -> {out_path} ({device})", file=sys.stderr)
 
-    for pick in HEADLINE_ORDER:
-        if pick in results:  # fresh numbers only — stale ones don't headline
-            headline = results[pick]
+    results, statuses = {}, {}
+
+    def write_results():
+        merged = _merge_results(results, statuses, out_path)
+        device = next((r.get("device") for r in results.values()
+                       if r.get("device")), None)
+        if device is None:
+            device = next((r.get("device") for r in merged.values()
+                           if r.get("device")), "unknown")
+        hbm = next((r.get("hbm_roofline_bytes_per_sec")
+                    for r in list(results.values()) + list(merged.values())
+                    if r.get("hbm_roofline_bytes_per_sec")), None)
+        payload = {"device": device, "total_seconds": time.time() - t0,
+                   "hbm_roofline_bytes_per_sec": hbm,
+                   "scale": args.scale, "quick": args.quick,
+                   "statuses": statuses, "pallas_env": extra_env,
+                   "results": merged}
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=2, default=str)
+        return merged
+
+    merged = {}
+    try:
+        for name in plan:
+            if remaining() < 120.0:
+                print(f"# skipping {name}: over time budget", file=sys.stderr)
+                statuses[name] = "skipped_budget"
+                continue
+            res, status = _run_child(
+                name, args, extra_env=extra_env,
+                timeout=min(args.child_timeout, remaining() + 60.0))
+            statuses[name] = status
+            if res is not None:
+                res["vs_baseline"] = res["rows_per_sec"] / BASELINES[name]
+                results[name] = res
+                print(f"# {name}: {res}", file=sys.stderr)
+            else:
+                print(f"# {name} FAILED: {status}", file=sys.stderr)
+                if (not on_cpu and status != "skipped_budget"
+                        and remaining() > args.cooldown + 240.0):
+                    # a dead TPU child leaves a relay claim (~5 min): wait it
+                    # out so the NEXT config starts on a clean device — but
+                    # only when the budget still has room to use the device
+                    print(f"# cooling down {args.cooldown:.0f}s (relay claim)",
+                          file=sys.stderr)
+                    time.sleep(args.cooldown)
+            merged = write_results()  # land every number the moment it exists
+    except _Interrupted as e:
+        print(f"# interrupted ({e}) — flushing results", file=sys.stderr)
+        statuses["_interrupted"] = str(e)
+    finally:
+        merged = write_results()
+        print(f"# full results -> {out_path}", file=sys.stderr)
+        _print_headline(results, merged, args)
+
+
+def _load_cached_smoke():
+    try:
+        st = os.stat("tpu_smoke.json")
+        if time.time() - st.st_mtime > SMOKE_MAX_AGE_S:
+            return None
+        with open("tpu_smoke.json") as f:
+            smoke = json.load(f)
+        if smoke.get("on_tpu") and "filter_agg_ok" in smoke:
+            return smoke
+    except (OSError, json.JSONDecodeError):
+        pass
+    return None
+
+
+def _print_headline(results, merged, args):
+    """The ONE driver-visible JSON line.  Prefer a fresh number in headline
+    order; fall back to the newest merged (stale) number rather than printing
+    nothing — an official record marked stale beats an empty record."""
+    pick, headline, stale = None, None, False
+    for cand in HEADLINE_ORDER:
+        if cand in results:
+            pick, headline = cand, results[cand]
             break
-    else:
+    if pick is None:
+        for cand in HEADLINE_ORDER:
+            r = merged.get(cand)
+            if r and "rows_per_sec" in r and "vs_baseline" in r:
+                pick, headline, stale = cand, r, True
+                break
+    if pick is None:
         print(json.dumps({"metric": "bench_failed", "value": 0.0,
                           "unit": "rows/s", "vs_baseline": 0.0}))
         return
@@ -621,6 +744,8 @@ def main():
              "join_lookup": "inner_join_lookup_100Mx10M"}[pick]
     if args.quick:
         label += "_quick"
+    if stale:
+        label += "_stale"
     print(json.dumps({
         "metric": f"{label}_rows_per_sec",
         "value": round(headline["rows_per_sec"], 1),
