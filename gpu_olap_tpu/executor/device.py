@@ -93,12 +93,20 @@ class DevBatch:
     # them), sort-based operators can sentinel-mask keys instead of carrying a
     # validity operand through every merge pass
     prefix_rows: Optional[int] = None
+    # DYNAMIC prefix: row_valid is exactly ``arange(capacity) < prefix_count``
+    # with a traced scalar (aggregate/distinct group counts, sorted outputs).
+    # The final host-boundary compaction then skips its sort + per-column
+    # gather entirely — at 8M-capacity groupby outputs that gather alone cost
+    # ~0.4 s (XLA gathers run 40-78M elem/s regardless of index locality)
+    prefix_count: Optional[jnp.ndarray] = None
 
     def count(self):
         if self.prefix_rows is not None:
             return jnp.asarray(self.prefix_rows, dtype=jnp.int64)
         if self.row_valid is None:
             return jnp.asarray(self.capacity, dtype=jnp.int64)
+        if self.prefix_count is not None:
+            return self.prefix_count.astype(jnp.int64)
         return jnp.sum(self.row_valid.astype(jnp.int64))
 
 
@@ -377,6 +385,11 @@ class DeviceExecutor:
             if rv is None:
                 count = jnp.asarray(batch.capacity, dtype=jnp.int64)
                 cols_out = [(c.data, c.validity) for c in batch.cols]
+            elif batch.prefix_rows is not None or batch.prefix_count is not None:
+                # valid rows already form a prefix: the host slice [:count]
+                # IS the compaction — skip the capacity-sized sort + gathers
+                count = batch.count()
+                cols_out = [(c.data, c.validity) for c in batch.cols]
             else:
                 gather_idx, count = filter_ops.compaction_indices(rv)
                 cols_out = []
@@ -568,7 +581,7 @@ class _Interpreter:
                                src.source if src else None,
                                src.narrow if src and data is src.data else None))
         return DevBatch(plan.schema, cols, batch.capacity, batch.row_valid,
-                        batch.prefix_rows)
+                        batch.prefix_rows, prefix_count=batch.prefix_count)
 
     def _join(self, plan: P.TpuHashJoin, path) -> DevBatch:
         left = self.exec(plan.left, path + (0,))
@@ -1133,7 +1146,8 @@ class _Interpreter:
                 data, valid = results[i]
                 cols.append(DevCol(data, valid, specs[i].get("dictionary")))
         rv = jnp.arange(max_groups) < n_groups
-        return DevBatch(plan.schema, cols, max_groups, rv)
+        return DevBatch(plan.schema, cols, max_groups, rv,
+                        prefix_count=n_groups)
 
     _PALLAS_CMP = {">": "gt", ">=": "ge", "<": "lt", "<=": "le",
                    "=": "eq", "==": "eq", "!=": "ne", "<>": "ne"}
@@ -1323,9 +1337,9 @@ class _Interpreter:
         out_cap = max_groups if plan.group_exprs else 1
         if plan.group_exprs:
             row_valid = jnp.arange(out_cap) < n_groups
-        else:
-            row_valid = None
-        return DevBatch(plan.schema, cols, out_cap, row_valid)
+            return DevBatch(plan.schema, cols, out_cap, row_valid,
+                            prefix_count=n_groups)
+        return DevBatch(plan.schema, cols, out_cap, None)
 
     def _sort_keys(self, keys, batch: DevBatch):
         out = []
@@ -1356,10 +1370,12 @@ class _Interpreter:
             ))
         n = batch.capacity
         limit = plan.limit if plan.limit is not None else n
-        row_valid = jnp.arange(n) < jnp.minimum(count, limit)
+        pc = jnp.minimum(count, jnp.asarray(limit, count.dtype))
+        row_valid = jnp.arange(n) < pc
         prefix = (min(batch.prefix_rows, limit)
                   if batch.prefix_rows is not None else None)
-        return DevBatch(plan.schema, cols, n, row_valid, prefix)
+        return DevBatch(plan.schema, cols, n, row_valid, prefix,
+                        prefix_count=pc)
 
     def _limit(self, plan: P.TpuLimit, path) -> DevBatch:
         batch = self.exec(plan.input, path + (0,))
@@ -1376,7 +1392,15 @@ class _Interpreter:
         if batch.prefix_rows is not None and lo == 0:
             prefix = (min(batch.prefix_rows, hi) if hi is not None
                       else batch.prefix_rows)
-        return DevBatch(plan.schema, batch.cols, batch.capacity, mask, prefix)
+        pc = None
+        if lo == 0 and (batch.row_valid is None
+                        or batch.prefix_rows is not None
+                        or batch.prefix_count is not None):
+            base = batch.count()
+            pc = (base if hi is None
+                  else jnp.minimum(base, jnp.asarray(hi, base.dtype)))
+        return DevBatch(plan.schema, batch.cols, batch.capacity, mask, prefix,
+                        prefix_count=pc)
 
     def _distinct(self, plan: P.TpuDistinct, path) -> DevBatch:
         batch = self.exec(plan.input, path + (0,))
@@ -1404,7 +1428,8 @@ class _Interpreter:
             for (code, null), (dtype, dictionary) in zip(group_codes, key_meta)
         ]
         row_valid = jnp.arange(max_groups) < n_groups
-        return DevBatch(plan.schema, cols, max_groups, row_valid)
+        return DevBatch(plan.schema, cols, max_groups, row_valid,
+                        prefix_count=n_groups)
 
     def _push_flag(self, cap_key, flag):
         self.meta["flag_names"].append(cap_key)
