@@ -341,14 +341,20 @@ def tpu_smoke():
     filt = rng.integers(0, 1000, n).astype(np.int32)
     val = rng.integers(-1000, 1000, n).astype(np.int32)
     fd, vd = jnp.asarray(filt), jnp.asarray(val)
-    cnt, per_col = filter_agg_i32(fd, "gt", 500, (vd,), 1, not on_tpu, n,
-                                  ((True, True),))
+    # distinct value column + ALIASED column + a partial validity boundary —
+    # exercises the alias block-reuse and the straddling-block index path
+    nv = n - 12345
+    cnt, per_col = filter_agg_i32(fd, "gt", 500, (vd, fd), 2, not on_tpu, nv,
+                                  ((True, True), (True, True)))
     total, mn, mx = per_col[0]
-    m = filt > 500
+    m = (filt > 500) & (np.arange(n) < nv)
     exp_cnt = int(m.sum())
     ok_f = (int(cnt) == exp_cnt
             and int(total) == int(val[m].astype(np.int64).sum())
-            and int(mn) == int(val[m].min()) and int(mx) == int(val[m].max()))
+            and int(mn) == int(val[m].min()) and int(mx) == int(val[m].max())
+            and int(per_col[1][0]) == int(filt[m].astype(np.int64).sum())
+            and int(per_col[1][1]) == int(filt[m].min())
+            and int(per_col[1][2]) == int(filt[m].max()))
     out["filter_agg_ok"] = bool(ok_f)
 
     # ---- seg_agg: >= 3 shapes (VERDICT #2 done-criterion) --------------

@@ -36,12 +36,15 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 from .seg_agg import _add64, _split64  # emulated-64-bit scalar helpers
 
-# rows per grid step; (BLOCK // 128) x 128 vector tiles of int32
-_BLOCK = 256 * 1024
+# rows per grid step; (BLOCK // 128) x 128 vector tiles of int32.  Large
+# inputs use the 1M-row block (fewer grid steps — the sequential grid costs
+# ~0.7 us/step — and longer DMA bursts); small inputs fall back to 256K so
+# padding waste stays bounded.  VMEM: (1 + distinct cols) x 2 buffers x 4 MB.
+_BLOCK_BIG = 1024 * 1024
+_BLOCK_SMALL = 256 * 1024
 _LANES = 128
-_R = _BLOCK // _LANES
 #: engagement threshold for the SQL matcher — below this XLA's fused reduce
-#: wins on kernel-dispatch overhead alone (inputs are padded up to _BLOCK)
+#: wins on kernel-dispatch overhead alone (inputs are padded up to a block)
 MIN_ROWS = 64 * 1024
 
 _I32_MAX = np.int32(np.iinfo(np.int32).max)
@@ -67,24 +70,33 @@ def _sum_i32(vec):
     return jnp.sum(vec.reshape(1, n), axis=1, dtype=jnp.int32)[0]
 
 
-def _pad_to_block(a):
+def _pad_to_block(a, block):
     n = a.shape[0]
-    n_pad = -(-n // _BLOCK) * _BLOCK
+    n_pad = -(-n // block) * block
     if n_pad != n:
         a = jnp.concatenate([a, jnp.zeros(n_pad - n, dtype=a.dtype)])
     return a, n_pad
 
 
-def _filter_agg_kernel(op: str, n_cols: int, wants, thresh_ref, nvalid_ref,
-                       filt_ref, *rest):
+def _filter_agg_kernel(op: str, n_cols: int, wants, alias, block: int,
+                       thresh_ref, nvalid_ref, filt_ref, *rest):
     """One row block: mask from the predicate, then fold per-block partials
     into (1, 128) VECTOR lane accumulators — COUNT plus, per value column,
     an emulated int64 SUM and MIN/MAX.  Everything is vector-shaped (the
     scalar-accumulator variant serialized ~10 full-vector reductions per
     block and ran 2x slower than XLA's fused reduce); the final 128-lane
-    fold happens outside in XLA."""
-    col_refs = rest[:n_cols]
-    outs = rest[n_cols:]
+    fold happens outside in XLA.
+
+    ``alias[k]`` marks value columns that ARE the filter column: they read
+    the already-loaded filter block instead of a second HBM stream (the
+    ``SUM(v) WHERE v > c`` flagship halves its traffic).  The row-validity
+    bound applies per-element only in the single block that straddles
+    ``n_valid`` — full blocks skip the index arithmetic entirely (~3 VPU
+    ops/row on a ~10-op/row kernel)."""
+    rows = block // _LANES
+    n_in = sum(1 for a in alias if not a)
+    col_refs = rest[:n_in]
+    outs = rest[n_in:]
     cnt_ref = outs[0]
     i = pl.program_id(0)
 
@@ -99,49 +111,67 @@ def _filter_agg_kernel(op: str, n_cols: int, wants, thresh_ref, nvalid_ref,
             mn[...] = jnp.full((1, _LANES), _I32_MAX, jnp.int32)
             mx[...] = jnp.full((1, _LANES), _I32_MIN, jnp.int32)
 
-    f = filt_ref[:].reshape(_R, _LANES)
-    # flat row index of element (r, c) is i*BLOCK + r*128 + c (row-major)
-    r2 = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANES), 0)
-    c2 = jax.lax.broadcasted_iota(jnp.int32, (_R, _LANES), 1)
-    idx = i * _BLOCK + r2 * np.int32(_LANES) + c2
-    mask = _CMP[op](f, thresh_ref[0]) & (idx < nvalid_ref[0])
+    f = filt_ref[:].reshape(rows, _LANES)
+    base = _CMP[op](f, thresh_ref[0])
 
-    def col_sum(x):  # (R, LANES) int32 -> (1, LANES) partial
+    def col_sum(x):  # (rows, LANES) int32 -> (1, LANES) partial
         return jnp.sum(x, axis=0, keepdims=True, dtype=jnp.int32)
 
-    cnt_ref[...] = cnt_ref[...] + col_sum(mask.astype(jnp.int32))
-    for k in range(n_cols):
-        v = col_refs[k][:].reshape(_R, _LANES)
-        want_sum, want_minmax = wants[k]
-        shi, slo, mn, mx = outs[1 + 4 * k: 5 + 4 * k]
-        if want_sum:
-            mv = jnp.where(mask, v, np.int32(0))
-            # signed 16-bit decomposition: v == lo + (hi << 16) with lo
-            # unsigned and hi arithmetic-shifted (sign-carrying); per-lane
-            # block sums (<= R*65535 and R*32768) fit int32
-            s0 = col_sum(mv & 0xFFFF)
-            s1 = col_sum(mv >> 16)
-            hi, lo = _add64(shi[...], slo[...], jnp.zeros_like(s0), s0)
-            hi, lo = _add64(hi, lo, *_split64(s1, 16))
-            shi[...] = hi
-            slo[...] = lo
-        if want_minmax:
-            mn[...] = jnp.minimum(
-                mn[...], jnp.min(jnp.where(mask, v, _I32_MAX),
-                                 axis=0, keepdims=True))
-            mx[...] = jnp.maximum(
-                mx[...], jnp.max(jnp.where(mask, v, _I32_MIN),
-                                 axis=0, keepdims=True))
+    def accumulate(mask):
+        cnt_ref[...] = cnt_ref[...] + col_sum(mask.astype(jnp.int32))
+        j = 0
+        for k in range(n_cols):
+            if alias[k]:
+                v = f
+            else:
+                v = col_refs[j][:].reshape(rows, _LANES)
+                j += 1
+            want_sum, want_minmax = wants[k]
+            shi, slo, mn, mx = outs[1 + 4 * k: 5 + 4 * k]
+            if want_sum:
+                mv = jnp.where(mask, v, np.int32(0))
+                # signed 16-bit decomposition: v == lo + (hi << 16) with lo
+                # unsigned and hi arithmetic-shifted (sign-carrying); per-lane
+                # block sums (<= rows*65535 and rows*32768) fit int32
+                s0 = col_sum(mv & np.int32(0xFFFF))
+                s1 = col_sum(mv >> np.int32(16))
+                hi, lo = _add64(shi[...], slo[...], jnp.zeros_like(s0), s0)
+                hi, lo = _add64(hi, lo, *_split64(s1, 16))
+                shi[...] = hi
+                slo[...] = lo
+            if want_minmax:
+                mn[...] = jnp.minimum(
+                    mn[...], jnp.min(jnp.where(mask, v, _I32_MAX),
+                                     axis=0, keepdims=True))
+                mx[...] = jnp.maximum(
+                    mx[...], jnp.max(jnp.where(mask, v, _I32_MIN),
+                                     axis=0, keepdims=True))
+
+    # blocks fully inside [0, n_valid) skip the per-element index bound
+    full = nvalid_ref[0] >= (i + np.int32(1)) * np.int32(block)
+
+    @pl.when(full)
+    def _():
+        accumulate(base)
+
+    @pl.when(jnp.logical_not(full))
+    def _():
+        # flat row index of element (r, c) is i*block + r*128 + c (row-major)
+        r2 = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+        c2 = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+        idx = i * np.int32(block) + r2 * np.int32(_LANES) + c2
+        accumulate(base & (idx < nvalid_ref[0]))
 
 
-@functools.partial(jax.jit, static_argnums=(1, 4, 5, 7))
 def filter_agg_i32(filt: jnp.ndarray, op: str, threshold, cols,
                    n_cols: int, interpret: bool = False, n_valid=None,
                    wants=None):
     """Fused ``WHERE filt <op> threshold`` global aggregation over int32 lanes.
 
     ``filt``: (n,) int32 filter column.  ``op``: one of gt/ge/lt/le/eq/ne.
-    ``cols``: tuple of ``n_cols`` int32 (n,) value columns (may alias filt).
+    ``cols``: tuple of ``n_cols`` int32 (n,) value columns (may alias filt —
+    aliased columns ride the filter's block load, halving HBM traffic for
+    the ``SUM(v) WHERE v > c`` flagship).
     ``n_valid``: number of leading non-padding rows (traced OK; defaults n).
     ``wants``: static per-column (want_sum, want_minmax) pairs — unneeded
     lanes cost VPU ops per row, so callers drop them (default: all on).
@@ -151,16 +181,28 @@ def filter_agg_i32(filt: jnp.ndarray, op: str, threshold, cols,
     row matches — callers gate on count like the XLA global path does;
     un-wanted lanes hold their identities (0 / sentinels).
     """
+    # alias detection by object identity must happen OUTSIDE the jit below:
+    # pytree flattening gives duplicated leaves distinct tracers inside
+    alias = tuple(c is filt for c in cols)
+    distinct = tuple(c for c, a in zip(cols, alias) if not a)
+    return _filter_agg_impl(filt, op, threshold, distinct, n_cols, interpret,
+                            n_valid, wants, alias)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 4, 5, 7, 8))
+def _filter_agg_impl(filt, op: str, threshold, distinct, n_cols: int,
+                     interpret: bool, n_valid, wants, alias):
     if wants is None:
         wants = ((True, True),) * n_cols
     n = filt.shape[0]
     if n_valid is None:
         n_valid = n
-    filt, n_pad = _pad_to_block(filt)
-    cols = tuple(_pad_to_block(c)[0] for c in cols)
-    grid = n_pad // _BLOCK
+    block = _BLOCK_BIG if n >= 4 * _BLOCK_BIG else _BLOCK_SMALL
+    filt, n_pad = _pad_to_block(filt, block)
+    distinct = tuple(_pad_to_block(c, block)[0] for c in distinct)
+    grid = n_pad // block
 
-    blk = pl.BlockSpec((_BLOCK,), lambda i: (i,), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((block,), lambda i: (i,), memory_space=pltpu.VMEM)
     # full-array blocks + explicit int32-zero index maps: the auto-generated
     # index map of an UNBLOCKED spec returns a weak-i64 constant under x64,
     # which the Mosaic pass pipeline refuses (func.return i64)
@@ -169,15 +211,15 @@ def filter_agg_i32(filt: jnp.ndarray, op: str, threshold, cols,
     acc = pl.BlockSpec((1, _LANES), lambda i: (np.int32(0), np.int32(0)),
                        memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        functools.partial(_filter_agg_kernel, op, n_cols, wants),
+        functools.partial(_filter_agg_kernel, op, n_cols, wants, alias, block),
         grid=(grid,),
-        in_specs=[scalar, scalar, blk] + [blk] * n_cols,
+        in_specs=[scalar, scalar, blk] + [blk] * len(distinct),
         out_specs=[acc] * (1 + 4 * n_cols),
         out_shape=[jax.ShapeDtypeStruct((1, _LANES), jnp.int32)
                    for _ in range(1 + 4 * n_cols)],
         interpret=interpret,
     )(jnp.asarray([threshold], dtype=jnp.int32),
-      jnp.asarray([n_valid], dtype=jnp.int32), filt, *cols)
+      jnp.asarray([n_valid], dtype=jnp.int32), filt, *distinct)
 
     # final 128-lane fold in XLA (tiny)
     count = jnp.sum(outs[0].astype(jnp.int64))
