@@ -189,19 +189,28 @@ class StreamingAggregator:
                                              join_capacity, partials)
 
         build = self._prepare_build(pipe) if pipe.join is not None else None
+        if build is not None:
+            # size the per-chunk match buffer from the build side's MEASURED
+            # key duplication (2x headroom) instead of blind growth retries
+            join_capacity = max(join_capacity, _dup_capacity(
+                chunk_rows, build.get("avg_dup", 1.0)))
 
-        for attempt in range(4):
+        for attempt in range(5):
             state = _init_state(agg.group_exprs, partials, max_groups)
-            state, overflowed = self._stream_part(
+            state, (j_ovf, g_ovf) = self._stream_part(
                 pipe, build, chunk_rows, max_groups, join_capacity, partials,
                 state, self._probe_chunks(pipe, chunk_rows))
-            if not overflowed:
+            if not (j_ovf or g_ovf):
                 return self._finalize(agg, state, max_groups)
-            join_capacity *= 4
-            max_groups = min(max_groups * 4, 1 << 24)
-            logger.warning("streamed pass overflowed; retrying with "
-                           "join_capacity=%d max_groups=%d",
-                           join_capacity, max_groups)
+            # grow ONLY the overflowing capacity: inflating max_groups on a
+            # join overflow recompiles every step against 4x group buffers
+            if j_ovf:
+                join_capacity *= 4
+            if g_ovf:
+                max_groups = min(max_groups * 4, 1 << 24)
+            logger.warning("streamed pass overflowed (join=%s groups=%s); "
+                           "retrying with join_capacity=%d max_groups=%d",
+                           j_ovf, g_ovf, join_capacity, max_groups)
         raise RuntimeError("streaming capacities kept overflowing")
 
     def _probe_cols(self, pipe) -> List[str]:
@@ -254,10 +263,11 @@ class StreamingAggregator:
         build_paths = self.spill.partition_table(
             self.catalog, build_scan.table_name, rname, k, chunk_rows, bcols)
 
-        for attempt in range(4):
+        for attempt in range(5):
             state = _init_state(agg.group_exprs, partials, max_groups)
-            overflow = False
+            j_ovf = g_ovf = False
             n_parts = 0
+            used_cap = join_capacity
             for pi in range(k):
                 if not (os.path.exists(build_paths[pi])
                         and os.path.exists(probe_paths[pi])):
@@ -265,22 +275,31 @@ class StreamingAggregator:
                 host = arrow_io.read_parquet(build_paths[pi])
                 build = self._prepare_build(pipe, host_batch=host,
                                             pad_bucket=True)
-                state, ovf = self._stream_part(
-                    pipe, build, chunk_rows, max_groups, join_capacity,
+                # per-partition match buffer from MEASURED key duplication
+                # (2x headroom), power-of-2 bucketed so similar partitions
+                # share one compiled step
+                cap_pi = max(join_capacity, _dup_capacity(
+                    chunk_rows, build.get("avg_dup", 1.0)))
+                used_cap = max(used_cap, cap_pi)
+                state, (jo, go) = self._stream_part(
+                    pipe, build, chunk_rows, max_groups, cap_pi,
                     partials, state,
                     self._probe_chunks(pipe, chunk_rows,
                                        path=probe_paths[pi]))
-                overflow = overflow or ovf
+                j_ovf = j_ovf or jo
+                g_ovf = g_ovf or go
                 n_parts += 1
             logger.info("partitioned join: %d/%d partition pairs joined",
                         n_parts, k)
-            if not overflow:
+            if not (j_ovf or g_ovf):
                 return self._finalize(agg, state, max_groups)
-            join_capacity *= 4
-            max_groups = min(max_groups * 4, 1 << 24)
-            logger.warning("partitioned pass overflowed; retrying with "
-                           "join_capacity=%d max_groups=%d",
-                           join_capacity, max_groups)
+            if j_ovf:
+                join_capacity = used_cap * 4
+            if g_ovf:
+                max_groups = min(max_groups * 4, 1 << 24)
+            logger.warning("partitioned pass overflowed (join=%s groups=%s); "
+                           "retrying with join_capacity=%d max_groups=%d",
+                           j_ovf, g_ovf, join_capacity, max_groups)
         raise RuntimeError("partitioned join capacities kept overflowing")
 
     def _stream_part(self, pipe, build, chunk_rows, max_groups,
@@ -293,7 +312,8 @@ class StreamingAggregator:
         build_args = () if build is None else (
             build["sk"], build["srow"], build["nbv"],
             tuple((c.data, c.validity) for c in build["batch"].cols))
-        overflow = jnp.asarray(False)
+        overflow_j = jnp.asarray(False)
+        overflow_g = jnp.asarray(False)
         feeder = DeviceFeeder(num_buffers=self.config.num_feed_buffers)
 
         staged = collections.deque()  # arena buffers per in-flight chunk
@@ -307,8 +327,9 @@ class StreamingAggregator:
 
         n_chunks = 0
         for dev_chunk in feeder.feed(host_iter()):
-            state, step_overflow = step(state, build_args, *dev_chunk)
-            overflow = overflow | step_overflow
+            state, (j_o, g_o) = step(state, build_args, *dev_chunk)
+            overflow_j = overflow_j | j_o
+            overflow_g = overflow_g | g_o
             n_chunks += 1
             # this chunk's H2D transfer is complete once its device arrays
             # are ready (compute keeps running async behind); its staging
@@ -318,7 +339,10 @@ class StreamingAggregator:
                 self.arena.release(buf)
         logger.info("streamed %d chunks of %d rows (arena: %s)",
                     n_chunks, chunk_rows, self.arena.stats())
-        return state, (bool(np.asarray(overflow)) if n_chunks else False)
+        if not n_chunks:
+            return state, (False, False)
+        return state, (bool(np.asarray(overflow_j)),
+                       bool(np.asarray(overflow_g)))
 
     # ------------------------------------------------------------------
     def _prepare_build(self, pipe: _StreamablePipeline, host_batch=None,
@@ -368,7 +392,16 @@ class StreamingAggregator:
         code, null = key_code(d, v, _np_kind(key_expr.dtype))
         inv = null if batch.row_valid is None else (null | ~batch.row_valid)
         sk, srow, nbv = join_ops.build_sorted(code, inv)
-        return {"batch": batch, "sk": sk, "srow": srow, "nbv": nbv}
+        # measured key duplication (host-side, pre-middle-ops: an upper
+        # bound) sizes the callers' per-chunk match buffers up front
+        avg_dup = 1.0
+        idxs = list(indices)
+        if isinstance(key_expr, P.ColumnRef) and key_expr.index < len(idxs) \
+                and n > 0:
+            key_host = np.asarray(host.columns[idxs[key_expr.index]].data)[:n]
+            avg_dup = n / max(len(np.unique(key_host)), 1)
+        return {"batch": batch, "sk": sk, "srow": srow, "nbv": nbv,
+                "avg_dup": avg_dup}
 
     # ------------------------------------------------------------------
     def _get_step(self, pipe: _StreamablePipeline, chunk_rows: int,
@@ -430,7 +463,8 @@ class StreamingAggregator:
             batch = DevBatch(scan_schema, cols, chunk_rows, row_valid)
             for op in pipe.middle:
                 batch = _apply_one(interp, op, batch)
-            step_overflow = jnp.asarray(False)
+            join_overflow = jnp.asarray(False)
+            group_overflow = jnp.asarray(False)
 
             if join is not None:
                 b_sk, b_srow, b_nbv, b_cols = build_args
@@ -447,7 +481,7 @@ class StreamingAggregator:
                     b_sk, b_nbv, pcode, pinv)
                 li, ri, out_valid, total, j_overflow = join_ops.expand_matches(
                     cnt, lo, b_srow, join_capacity)
-                step_overflow = step_overflow | j_overflow
+                join_overflow = join_overflow | j_overflow
                 from .device import _gather_col
 
                 jcols = [
@@ -515,14 +549,15 @@ class StreamingAggregator:
                 n_rows=rows + max_groups,
             )
             if keys:
-                step_overflow = step_overflow | g_overflow
+                group_overflow = group_overflow | g_overflow
             new_keys = group_codes
             new_partials = [r[0] for r in results]
             new_valid = (jnp.arange(max_groups) < n_groups) if keys else \
                 jnp.ones(1, bool)
             if not keys:
                 new_keys = []
-            return (new_keys, new_partials, new_valid), step_overflow
+            return (new_keys, new_partials, new_valid), (join_overflow,
+                                                         group_overflow)
 
         return jax.jit(step, donate_argnums=(0,))
 
@@ -568,6 +603,14 @@ def _apply_one(interp, op, batch):
         d, v, dd = interp.eval_expr(e, batch)
         ncols.append(DevCol(d, v, dd))
     return DevBatch(op.schema, ncols, batch.capacity, batch.row_valid)
+
+
+def _dup_capacity(chunk_rows: int, avg_dup: float) -> int:
+    """Per-chunk join match-buffer size from measured build-side key
+    duplication, with 2x headroom over the average (duplication varies by
+    chunk), power-of-2 bucketed so partitions share compiled steps."""
+    est = int(chunk_rows * max(2.0 * avg_dup, 1.25)) + 1024
+    return 1 << (est - 1).bit_length()
 
 
 def _partial_layout(agg: P.TpuAggregate):

@@ -82,14 +82,16 @@ def test_stream_join_grouped_parity():
     from gpu_olap_tpu import EngineConfig, OlapEngine
 
     rng = np.random.default_rng(34)
-    nl, nr = 50_000, 30_000
-    nkeys = 300  # heavy duplication both sides
+    # nl + nr >= 1<<15 keeps the stream-join gate engaged (device.py) while
+    # ~6x match expansion bounds the capacity the CPU-mesh run must carry
+    nl, nr = 25_000, 10_000
+    nkeys = 1_750  # heavy duplication both sides
     lk = rng.integers(0, nkeys, nl).astype(np.int64)
     rk = rng.integers(0, nkeys, nr).astype(np.int64)
     rg = rng.integers(0, 7, nr).astype(np.int64)
 
     def mk(backend):
-        eng = OlapEngine(EngineConfig(backend=backend, join_expansion=600.0,
+        eng = OlapEngine(EngineConfig(backend=backend, join_expansion=60.0,
                                       min_shape_bucket=1 << 14))
         eng.register("l", {"k": lk})
         eng.register("r", {"k": rk, "g": rg})

@@ -198,14 +198,17 @@ def test_arena_staging_reuse(big_parquet):
 def two_big_parquets(tmp_path_factory):
     d = tmp_path_factory.mktemp("grace")
     rng = np.random.default_rng(17)
-    nl, nr = 60_000, 40_000
+    # the grace path is exercised identically at 1/4 the rows (same chunking
+    # structure at batch_size 2048 below) — the old 60Kx40K shape cost 300 s
+    # of CPU-mesh wall time for no extra coverage
+    nl, nr = 15_000, 10_000
     lpath, rpath = str(d / "l.parquet"), str(d / "r.parquet")
     pq.write_table(pa.table({
-        "k": rng.integers(0, 5000, nl).astype(np.int64),
+        "k": rng.integers(0, 1250, nl).astype(np.int64),
         "v": rng.integers(0, 1000, nl).astype(np.int64),
     }), lpath)
     pq.write_table(pa.table({
-        "k": rng.integers(0, 5000, nr).astype(np.int64),
+        "k": rng.integers(0, 1250, nr).astype(np.int64),
         "w": rng.integers(0, 1000, nr).astype(np.int64),
     }), rpath)
     return lpath, rpath
@@ -215,7 +218,7 @@ def _grace_engine(lpath, rpath, **kw):
     eng = OlapEngine(EngineConfig(
         backend="device",
         table_cache_threshold_rows=1000,  # NEITHER side fits
-        batch_size=8192,
+        batch_size=2048,
         min_shape_bucket=1024,
         **kw,
     ))
