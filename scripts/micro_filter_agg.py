@@ -91,6 +91,21 @@ def main():
     print(f"pallas  {t_pal*1e3:8.2f} ms  {gbs_p:7.1f} GB/s "
           f"({gbs_p/HBM_GBPS*100:5.1f}% roofline)", flush=True)
 
+    @jax.jit
+    def pallas_cs_chain(v):
+        # the SQL matcher's COUNT/SUM-only shape: min/max lanes dropped
+        def body(i, acc):
+            cnt, ((s, _mn, _mx),) = filter_agg_i32(
+                v, "gt", np.int32(500) + i, (v,), 1, False, n,
+                ((True, False),))
+            return acc + cnt + s
+        return jax.lax.fori_loop(0, np.int32(K), body, jnp.int64(0))
+
+    t_cs = timeit(pallas_cs_chain, v, iters=args.iters) / K
+    gbs_c = n * 4 / t_cs / 1e9
+    print(f"pallas_cs {t_cs*1e3:6.2f} ms  {gbs_c:7.1f} GB/s "
+          f"({gbs_c/HBM_GBPS*100:5.1f}% roofline)", flush=True)
+
     def xla_path(v):
         mask = v > 500
         cnt = jnp.sum(mask.astype(jnp.int64))
@@ -114,8 +129,10 @@ def main():
         "rows": n,
         "xla_ms": round(t_xla * 1e3, 2),
         "pallas_ms": round(t_pal * 1e3, 2),
+        "pallas_cs_ms": round(t_cs * 1e3, 2),
         "xla_roofline": round(gbs_x / HBM_GBPS, 3),
         "pallas_roofline": round(gbs_p / HBM_GBPS, 3),
+        "pallas_cs_roofline": round(gbs_c / HBM_GBPS, 3),
         "parity": bool(ok),
     }), flush=True)
 
