@@ -285,7 +285,13 @@ def groupby_aggregate(
     if need_perm:
         operands = operands + [arange32]
     num_keys = len(key_ops) + len(ride_ops)
-    sorted_ops = jax.lax.sort(tuple(operands), num_keys=num_keys)
+    # unstable: XLA's stable sort rides a hidden tie-break iota through every
+    # merge pass (measured 518 -> 356 ms on 2x int32 at 100M rows on v5e).
+    # Payload order within equal key tuples is aggregation-invariant here
+    # (sums/counts are segment totals; the perm payload feeds a segmented
+    # min/max, also order-free).
+    sorted_ops = jax.lax.sort(tuple(operands), num_keys=num_keys,
+                              is_stable=False)
 
     first_s = sorted_ops[0] if first is not None else None
     if static_prefix is not None:
@@ -496,12 +502,14 @@ def _maybe_seg_agg_path(key_ops, ride_ops, ride_null_slot, payloads,
         return None
 
     if val_lane is None:
-        (sk,) = jax.lax.sort((k0,), num_keys=1)
+        (sk,) = jax.lax.sort((k0,), num_keys=1, is_stable=False)
         sv = sk
     else:
         # in-group order is free for SUM, so the payload can always serve as
-        # a second sort key; for the ride shape it is one by design
-        sk, sv = jax.lax.sort((k0, val_lane), num_keys=2)
+        # a second sort key; for the ride shape it is one by design.
+        # unstable: total order over both operands makes stability a no-op,
+        # and XLA's stable lowering costs a hidden iota operand per pass
+        sk, sv = jax.lax.sort((k0, val_lane), num_keys=2, is_stable=False)
     if pad:
         # sentinel pads sort last by construction: appending keeps sortedness
         sk = jnp.concatenate(
@@ -557,10 +565,14 @@ def _dense_boundaries(newflag, arange32, n_groups, nval, max_groups: int):
 
     Group ids are gap-free by construction, so the g-th True position of
     ``newflag`` IS group g's start and ``ends[g] = starts[g+1] - 1``.  The
-    compaction is one stable int32 pair sort — no searchsorted (whose
+    compaction is one int32 pair sort — no searchsorted (whose
     method=\"sort\" lowering hides a full merge sort plus two scatters).
+    The arange rides as a SECOND KEY with is_stable=False: the pair is then
+    totally ordered, giving byte-identical results to a stable 1-key sort
+    without XLA's hidden tie-break iota operand.
     ``nval`` is the number of valid rows (runs never extend past it)."""
-    _, pos = jax.lax.sort(((~newflag).astype(jnp.int32), arange32), num_keys=1)
+    _, pos = jax.lax.sort(((~newflag).astype(jnp.int32), arange32),
+                          num_keys=2, is_stable=False)
     if max_groups > pos.shape[0]:  # capacity grown past n: pad (never starts)
         pos = jnp.concatenate(
             [pos, jnp.zeros(max_groups - pos.shape[0], jnp.int32)])
@@ -623,7 +635,7 @@ def _count_distinct(spec, key_ops, inv_thr, static_prefix, max_groups, n):
     vcode, vnull = key_code(values, valid, spec.get("np_kind", "i"))
     nullable = _arg_nullable(spec)
     ops = list(key_ops) + ([vnull.astype(jnp.int32)] if nullable else []) + [vcode]
-    sorted2 = jax.lax.sort(tuple(ops), num_keys=len(ops))
+    sorted2 = jax.lax.sort(tuple(ops), num_keys=len(ops), is_stable=False)
     arange32 = jnp.arange(n, dtype=jnp.int32)
     if static_prefix is not None:
         in_pref2 = arange32 < np.int32(static_prefix)
@@ -674,7 +686,8 @@ def _global_aggregate(aggs, row_valid, n):
             # global distinct: sort values, count adjacency changes
             vcode, vnull = key_code(values, valid, spec.get("np_kind", "i"))
             inv = (vnull | ~rv).astype(jnp.int32)
-            s_inv, s_code = jax.lax.sort((inv, vcode), num_keys=2)
+            s_inv, s_code = jax.lax.sort((inv, vcode), num_keys=2,
+                                         is_stable=False)
             nv = n - jnp.sum(s_inv.astype(jnp.int64))
             arange = jnp.arange(n, dtype=jnp.int64)
             newv = jnp.concatenate([jnp.ones(1, dtype=bool),

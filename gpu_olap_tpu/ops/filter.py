@@ -33,12 +33,14 @@ def compaction_indices(mask: jnp.ndarray):
     """Stable compaction permutation: returns (gather_idx, count).
 
     ``gather_idx[i]`` is the source row for dense slot i (slots >= count hold
-    the masked-out rows).  Implemented as a stable sort by the inverted mask —
-    scatter-free, since XLA scatter serializes on TPU."""
+    the masked-out rows).  Implemented as a sort by (inverted mask, position)
+    — scatter-free, since XLA scatter serializes on TPU.  The position rides
+    as a second KEY with is_stable=False: total order == stable semantics
+    without XLA's hidden tie-break iota operand per merge pass."""
     n = mask.shape[0]
     arange = jnp.arange(n, dtype=jnp.int32)  # row counts < 2^31: narrow lane
     inv = (~mask).astype(jnp.int32)
-    _, gather_idx = jax.lax.sort((inv, arange), num_keys=1)
+    _, gather_idx = jax.lax.sort((inv, arange), num_keys=2, is_stable=False)
     count = jnp.sum(mask.astype(jnp.int64))
     return gather_idx, count
 

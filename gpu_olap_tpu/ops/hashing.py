@@ -68,7 +68,8 @@ def bucket_layout(dest: jnp.ndarray, row_valid, num_buckets: int, bucket_cap: in
         dest_eff = jnp.where(row_valid, dest32,
                              jnp.int32(num_buckets))  # invalid -> drop bucket
     # stable sort rows by destination; rows of bucket b occupy a contiguous run
-    sorted_dest, sorted_rows = jax.lax.sort((dest_eff, arange), num_keys=1)
+    sorted_dest, sorted_rows = jax.lax.sort((dest_eff, arange), num_keys=2,
+                                            is_stable=False)
     # histogram from run boundaries (binary search — scatter-free; the query
     # set is tiny, so searchsorted's internal scatter is bucket-sized)
     bucket_ids = jnp.arange(num_buckets + 1, dtype=jnp.int32)

@@ -67,14 +67,15 @@ def densify_keys(
     for (lc, _), (rc, _) in zip(left_keys, right_keys):
         ops.append(jnp.concatenate([lc, rc]))
     arange = jnp.arange(n, dtype=jnp.int64)
-    res = jax.lax.sort(tuple(ops) + (arange,), num_keys=len(ops))
+    res = jax.lax.sort(tuple(ops) + (arange,), num_keys=len(ops) + 1,
+                       is_stable=False)
     perm = res[-1]
     newflag = arange == 0
     for op in res[:-1]:
         newflag = newflag | jnp.concatenate([jnp.ones(1, dtype=bool), op[1:] != op[:-1]])
     code_sorted = jnp.cumsum(newflag.astype(jnp.int64))
     # inverse permutation by re-sorting (scatter-free)
-    _, dense = jax.lax.sort((perm, code_sorted), num_keys=1)
+    _, dense = jax.lax.sort((perm, code_sorted), num_keys=1, is_stable=False)
     return dense[:nl], dense[nl:]
 
 
@@ -99,7 +100,8 @@ def build_sorted(build_code: jnp.ndarray, build_invalid: jnp.ndarray,
         sk = jnp.where(arange < nbv, build_code, top)
         return sk, arange, nbv
     inv = build_invalid.astype(jnp.int32)
-    sk_inv, sk, srow = jax.lax.sort((inv, build_code, arange), num_keys=2)
+    sk_inv, sk, srow = jax.lax.sort((inv, build_code, arange), num_keys=3,
+                                    is_stable=False)
     nbv = nb - jnp.sum(sk_inv.astype(jnp.int64))
     sk = jnp.where(arange < nbv, sk, top)
     return sk, srow, nbv
@@ -156,7 +158,8 @@ def probe_ranges_merge(build_code, build_invalid, probe_code, probe_invalid,
             jnp.zeros(nb, dtype=jnp.int32), jnp.ones(npr, dtype=jnp.int32)])
         inv = jnp.concatenate([build_invalid, probe_invalid])
         key = jnp.where(inv, np.int32(np.iinfo(np.int32).max), key)
-        key_s, pidx_s = jax.lax.sort((key, pidx), num_keys=1)
+        key_s, pidx_s = jax.lax.sort((key, pidx), num_keys=2,
+                                     is_stable=False)
         run_key = key_s >> 1
         is_build = (key_s & 1) == 0
     elif build_code.dtype == jnp.int32 and probe_code.dtype == jnp.int32:
@@ -167,7 +170,8 @@ def probe_ranges_merge(build_code, build_invalid, probe_code, probe_invalid,
             jnp.zeros(nb, dtype=jnp.int64), jnp.ones(npr, dtype=jnp.int64)])
         inv = jnp.concatenate([build_invalid, probe_invalid])
         key = jnp.where(inv, INT64_MAX, key)
-        key_s, pidx_s = jax.lax.sort((key, pidx), num_keys=1)
+        key_s, pidx_s = jax.lax.sort((key, pidx), num_keys=2,
+                                     is_stable=False)
         run_key = key_s >> 1
         is_build = (key_s & 1) == 0
     else:
@@ -176,7 +180,8 @@ def probe_ranges_merge(build_code, build_invalid, probe_code, probe_invalid,
             jnp.zeros(nb, dtype=jnp.int32), jnp.ones(npr, dtype=jnp.int32)])
         inv = jnp.concatenate([build_invalid, probe_invalid])
         tag = jnp.where(inv, jnp.int32(2), tag)
-        key_s, tag_s, pidx_s = jax.lax.sort((key, tag, pidx), num_keys=2)
+        key_s, tag_s, pidx_s = jax.lax.sort((key, tag, pidx), num_keys=3,
+                                            is_stable=False)
         run_key = key_s
         is_build = tag_s == 0
     newflag = jnp.concatenate([jnp.ones(1, dtype=bool),
@@ -188,7 +193,8 @@ def probe_ranges_merge(build_code, build_invalid, probe_code, probe_invalid,
         jnp.where(newflag, cb - is_build.astype(jnp.int32), jnp.int32(-1)))
     cnt_elem = cb - run_base
     # restore probe order: probe rows sort to the first npr positions
-    _, lo_p, cnt_p = jax.lax.sort((pidx_s, run_base, cnt_elem), num_keys=1)
+    _, lo_p, cnt_p = jax.lax.sort((pidx_s, run_base, cnt_elem), num_keys=1,
+                                  is_stable=False)
     lo = lo_p[:npr].astype(jnp.int64)
     cnt = jnp.where(probe_invalid, 0, cnt_p[:npr]).astype(jnp.int64)
     return lo, cnt
@@ -362,7 +368,8 @@ def _compact_rows(flag: jnp.ndarray):
     (stable sort — scatter-free)."""
     n = flag.shape[0]
     arange = jnp.arange(n, dtype=jnp.int32)
-    _, rows = jax.lax.sort(((~flag).astype(jnp.int32), arange), num_keys=1)
+    _, rows = jax.lax.sort(((~flag).astype(jnp.int32), arange), num_keys=2,
+                           is_stable=False)
     n_set = jnp.sum(flag.astype(jnp.int64))
     rows = jnp.where(arange < n_set, rows, jnp.int32(-1)).astype(jnp.int64)
     return rows, n_set
@@ -460,7 +467,7 @@ def inner_join_stream(lcode, linv, rcode, rinv, capacity: int,
         pads = [jnp.full(npad, i32max, jnp.int32)] + [
             jnp.zeros(npad, jnp.int32)] * (len(lanes) - 1)
         lanes = [jnp.concatenate([a, p]) for a, p in zip(lanes, pads)]
-    sorted_lanes = jax.lax.sort(tuple(lanes), num_keys=1)
+    sorted_lanes = jax.lax.sort(tuple(lanes), num_keys=2, is_stable=False)
     key_s, rowid_s = sorted_lanes[0], sorted_lanes[1]
     payload_s = sorted_lanes[2:]
 

@@ -36,16 +36,24 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 from .seg_agg import _add64, _split64  # emulated-64-bit scalar helpers
 
-# rows per grid step; (BLOCK // 128) x 128 vector tiles of int32.  Large
-# inputs use the 1M-row block (fewer grid steps — the sequential grid costs
-# ~0.7 us/step — and longer DMA bursts); small inputs fall back to 256K so
-# padding waste stays bounded.  VMEM: (1 + distinct cols) x 2 buffers x 4 MB.
-_BLOCK_BIG = 1024 * 1024
-_BLOCK_SMALL = 256 * 1024
+# rows per grid step; (BLOCK // 128) x 128 vector tiles of int32.  Bigger
+# blocks = fewer sequential-grid steps (~0.7 us each) and longer DMA bursts,
+# but every input stream is double-buffered in VMEM and the TPU's SCOPED
+# VMEM LIMIT IS 16 MB (measured on v5e: a 24 MB allocation is rejected at
+# compile time) — so the block size is budgeted per stream count below.
+_VMEM_BUDGET = 10 * 1024 * 1024   # scoped-vmem budget for input buffers
+_BLOCK_MIN = 256 * 1024
 _LANES = 128
 #: engagement threshold for the SQL matcher — below this XLA's fused reduce
 #: wins on kernel-dispatch overhead alone (inputs are padded up to a block)
 MIN_ROWS = 64 * 1024
+
+
+def _block_rows(n_streams: int) -> int:
+    """Largest power-of-2 row block whose double-buffered int32 input
+    streams fit the scoped-VMEM budget."""
+    rows = _VMEM_BUDGET // (n_streams * 2 * 4)
+    return max(_BLOCK_MIN, 1 << (rows.bit_length() - 1)) if rows else _BLOCK_MIN
 
 _I32_MAX = np.int32(np.iinfo(np.int32).max)
 _I32_MIN = np.int32(np.iinfo(np.int32).min)
@@ -197,7 +205,9 @@ def _filter_agg_impl(filt, op: str, threshold, distinct, n_cols: int,
     n = filt.shape[0]
     if n_valid is None:
         n_valid = n
-    block = _BLOCK_BIG if n >= 4 * _BLOCK_BIG else _BLOCK_SMALL
+    block = _block_rows(1 + len(distinct))
+    if n < 4 * block:
+        block = _BLOCK_MIN  # bound padding waste on small inputs
     filt, n_pad = _pad_to_block(filt, block)
     distinct = tuple(_pad_to_block(c, block)[0] for c in distinct)
     grid = n_pad // block

@@ -44,7 +44,8 @@ def order_by_permutation(
                 null_op = 1 - null_op
             ops.append(null_op)
         ops.append(codes)
-    res = jax.lax.sort(tuple(ops) + (arange,), num_keys=len(ops))
+    res = jax.lax.sort(tuple(ops) + (arange,), num_keys=len(ops) + 1,
+                       is_stable=False)
     return res[-1]
 
 

@@ -233,3 +233,63 @@ def make_dist_join_groupby(mesh, capacity: int, join_capacity: int,
         return group_codes[0][0], tuple(r[0] for r in results), gvalid, overflow
 
     return jax.jit(_step)
+
+
+def make_dist_join_groupby_stages(mesh, capacity: int, join_capacity: int,
+                                  max_groups: int, agg_funcs: Sequence[str]):
+    """The flagship step split into two separately-jitted programs so the
+    scaling harness can time the SHUFFLE (all-to-all exchange) apart from the
+    LOCAL join+aggregate compute (VERDICT r3 #6: per-stage breakdown).  The
+    fused `make_dist_join_groupby` stays the production path (XLA overlaps
+    the collective with local compute there); these exist to attribute time.
+
+    Returns (shuffle_fn, local_fn):
+      shuffle_fn(lkeys, lvalid, lval, rkeys, rvalid, rval)
+          -> (slk, slval, slv, srk, srval, srv, overflow)
+      local_fn(slk, slval, slv, srk, srval, srv)
+          -> (gkeys, [aggs...], gvalid, overflow)
+    """
+    ndev = mesh.devices.size
+
+    shuf_in = (P(AXIS),) * 6
+    shuf_out = (P(AXIS),) * 6 + (P(),)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=shuf_in,
+                       out_specs=shuf_out, check_vma=False)
+    def _shuffle(lkeys, lvalid, lval, rkeys, rvalid, rval):
+        slk, (slval,), slv, of_l = shuffle_rows_local(
+            lkeys, [lval], lvalid, ndev, capacity)
+        srk, (srval,), srv, of_r = shuffle_rows_local(
+            rkeys, [rval], rvalid, ndev, capacity)
+        of = (of_l | of_r).astype(jnp.int32)
+        overflow = jax.lax.pmax(of, AXIS) > 0
+        return slk, slval, slv, srk, srval, srv, overflow
+
+    loc_in = (P(AXIS),) * 6
+    loc_out = (P(AXIS), tuple(P(AXIS) for _ in agg_funcs), P(AXIS), P())
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=loc_in,
+                       out_specs=loc_out, check_vma=False)
+    def _local(slk, slval, slv, srk, srval, srv):
+        li, ri, out_valid, total, of_j, _cnt = join_ops.inner_join(
+            [(slk, jnp.zeros_like(slv))], slv,
+            [(srk, jnp.zeros_like(srv))], srv,
+            join_capacity,
+        )
+        safe_l = jnp.clip(li, 0, slk.shape[0] - 1)
+        safe_r = jnp.clip(ri, 0, srk.shape[0] - 1)
+        jkey = slk[safe_l]
+        jval = slval[safe_l] * srval[safe_r]
+        specs = [{"func": f, "values": jval, "valid": None, "distinct": False,
+                  "acc_dtype": jnp.int64 if f == "count" else jval.dtype}
+                 for f in agg_funcs]
+        group_codes, results, n_groups, of_g = agg_ops.groupby_aggregate(
+            [(jkey, jnp.zeros_like(out_valid))], out_valid, specs, max_groups,
+            n_rows=jkey.shape[0],
+        )
+        gvalid = jnp.arange(max_groups) < n_groups
+        of = (of_j | of_g).astype(jnp.int32)
+        overflow = jax.lax.pmax(of, AXIS) > 0
+        return group_codes[0][0], tuple(r[0] for r in results), gvalid, overflow
+
+    return jax.jit(_shuffle), jax.jit(_local)
