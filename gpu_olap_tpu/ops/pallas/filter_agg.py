@@ -41,7 +41,12 @@ from .seg_agg import _add64, _split64  # emulated-64-bit scalar helpers
 # but every input stream is double-buffered in VMEM and the TPU's SCOPED
 # VMEM LIMIT IS 16 MB (measured on v5e: a 24 MB allocation is rejected at
 # compile time) — so the block size is budgeted per stream count below.
-_VMEM_BUDGET = 10 * 1024 * 1024   # scoped-vmem budget for input buffers
+_VMEM_BUDGET = 14 * 1024 * 1024   # scoped-vmem budget (limit is 16 MB)
+_TEMPS = 3                        # live block-sized VPU temporaries on the
+#                                   scoped stack (mask + masked-value
+#                                   splits).  Calibrated against hardware:
+#                                   2 streams @ 512K rows compiles (smoke),
+#                                   1 stream @ 1M rows exceeds 16 MB by 2 KB
 _BLOCK_MIN = 256 * 1024
 _LANES = 128
 #: engagement threshold for the SQL matcher — below this XLA's fused reduce
@@ -50,9 +55,10 @@ MIN_ROWS = 64 * 1024
 
 
 def _block_rows(n_streams: int) -> int:
-    """Largest power-of-2 row block whose double-buffered int32 input
-    streams fit the scoped-VMEM budget."""
-    rows = _VMEM_BUDGET // (n_streams * 2 * 4)
+    """Largest power-of-2 row block fitting the scoped-VMEM budget: each
+    input stream is double-buffered and the kernel body keeps ~_TEMPS
+    block-sized int32 temporaries live on the same scoped stack."""
+    rows = _VMEM_BUDGET // ((n_streams * 2 + _TEMPS) * 4)
     return max(_BLOCK_MIN, 1 << (rows.bit_length() - 1)) if rows else _BLOCK_MIN
 
 _I32_MAX = np.int32(np.iinfo(np.int32).max)
