@@ -18,6 +18,19 @@ import jax
 # the virtual 8-device CPU mesh (SURVEY.md §4 multi-device strategy)
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache for the suite: CPU compiles of the big traced
+# programs (streamed steps, dist shard_maps) dominate suite wall time; the
+# cache keys on HLO so re-runs after unrelated edits skip them
+try:
+    os.makedirs("/tmp/gpu_olap_test_xla_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gpu_olap_test_xla_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "xla_gpu_per_fusion_autotune_cache_dir")
+except Exception:
+    pass
+
 import numpy as np
 import pytest
 
