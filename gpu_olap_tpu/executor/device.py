@@ -1228,7 +1228,14 @@ class _Interpreter:
                 want[a.arg.index][1] = True
         filt32 = batch.cols[lhs.index].as_int32()
         cols32 = tuple(batch.cols[i].as_int32() for i in col_ix)
-        wants = tuple(tuple(want[i]) for i in col_ix)
+
+        def _sum16_ok(i):
+            # zone maps prove |v| < 2^15: kernel sums in ONE reduce per block
+            rng = batch.cols[i].value_range
+            return bool(rng is not None and -(1 << 15) < int(rng[0])
+                        and int(rng[1]) < (1 << 15))
+
+        wants = tuple((want[i][0], want[i][1], _sum16_ok(i)) for i in col_ix)
         n_valid = (batch.prefix_rows if batch.prefix_rows is not None
                    else batch.capacity)
         interpret = jax.default_backend() != "tpu"

@@ -140,9 +140,20 @@ def _filter_agg_kernel(op: str, n_cols: int, wants, alias, block: int,
             else:
                 v = col_refs[j][:].reshape(rows, _LANES)
                 j += 1
-            want_sum, want_minmax = wants[k]
+            want = wants[k]
+            want_sum, want_minmax = want[0], want[1]
+            sum16 = len(want) > 2 and want[2]
             shi, slo, mn, mx = outs[1 + 4 * k: 5 + 4 * k]
-            if want_sum:
+            if want_sum and sum16:
+                # zone maps prove |v| < 2^15: the per-lane block sum
+                # (<= rows * 32767 < 2^31) is exact in ONE int32 reduce —
+                # drops the lo/hi split (a reduce + 2 VPU ops per row)
+                mv = jnp.where(mask, v, np.int32(0))
+                s = col_sum(mv)
+                hi, lo = _add64(shi[...], slo[...], *_split64(s, 0))
+                shi[...] = hi
+                slo[...] = lo
+            elif want_sum:
                 mv = jnp.where(mask, v, np.int32(0))
                 # signed 16-bit decomposition: v == lo + (hi << 16) with lo
                 # unsigned and hi arithmetic-shifted (sign-carrying); per-lane
@@ -187,8 +198,10 @@ def filter_agg_i32(filt: jnp.ndarray, op: str, threshold, cols,
     aliased columns ride the filter's block load, halving HBM traffic for
     the ``SUM(v) WHERE v > c`` flagship).
     ``n_valid``: number of leading non-padding rows (traced OK; defaults n).
-    ``wants``: static per-column (want_sum, want_minmax) pairs — unneeded
-    lanes cost VPU ops per row, so callers drop them (default: all on).
+    ``wants``: static per-column ``(want_sum, want_minmax[, sum16_ok])``
+    tuples — unneeded lanes cost VPU ops per row, so callers drop them
+    (default: all on).  ``sum16_ok``: the caller's statistics prove
+    |value| < 2^15, enabling the single-reduce exact sum.
 
     Returns ``(count_i64, [(sum_i64, min_i32, max_i32), ...])`` with one
     triple per value column.  min/max are sentinel (INT32_MAX/MIN) when no

@@ -106,6 +106,36 @@ def main():
     print(f"pallas_cs {t_cs*1e3:6.2f} ms  {gbs_c:7.1f} GB/s "
           f"({gbs_c/HBM_GBPS*100:5.1f}% roofline)", flush=True)
 
+    @jax.jit
+    def pallas_cs16_chain(v):
+        # range-proven |v| < 2^15: single-reduce exact sum
+        def body(i, acc):
+            cnt, ((s, _mn, _mx),) = filter_agg_i32(
+                v, "gt", np.int32(500) + i, (v,), 1, False, n,
+                ((True, False, True),))
+            return acc + cnt + s
+        return jax.lax.fori_loop(0, np.int32(K), body, jnp.int64(0))
+
+    t_c16 = timeit(pallas_cs16_chain, v, iters=args.iters) / K
+    gbs_16 = n * 4 / t_c16 / 1e9
+    print(f"pallas_cs16 {t_c16*1e3:4.2f} ms  {gbs_16:7.1f} GB/s "
+          f"({gbs_16/HBM_GBPS*100:5.1f}% roofline)", flush=True)
+
+    @jax.jit
+    def pallas_cnt_chain(v):
+        # COUNT-only: ~2 VPU ops/row — the kernel's DMA/pipeline ceiling
+        def body(i, acc):
+            cnt, _ = filter_agg_i32(v, "gt", np.int32(500) + i, (), 0,
+                                    False, n, ())
+            return acc + cnt
+        return jax.lax.fori_loop(0, np.int32(K), body, jnp.int64(0))
+
+    t_cnt = timeit(pallas_cnt_chain, v, iters=args.iters) / K
+    gbs_n = n * 4 / t_cnt / 1e9
+    print(f"pallas_cnt {t_cnt*1e3:5.2f} ms  {gbs_n:7.1f} GB/s "
+          f"({gbs_n/HBM_GBPS*100:5.1f}% roofline)  [DMA ceiling probe]",
+          flush=True)
+
     def xla_path(v):
         mask = v > 500
         cnt = jnp.sum(mask.astype(jnp.int64))
