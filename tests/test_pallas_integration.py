@@ -165,3 +165,35 @@ def test_use_pallas_false_still_correct(engines):
     gdf = got.to_pandas().sort_values(["k"]).reset_index(drop=True)
     edf = exp.to_pandas().sort_values(["k"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(gdf, edf, check_dtype=False)
+
+
+def test_multikey_packed_groupby_matches_oracle():
+    """Multi-key GROUP BY with zone-map-packable keys folds into one int32
+    code (device.py packing) and engages the seg_agg hot path; results must
+    decode exactly — including negative ranges and dictionary keys."""
+    import numpy as np
+    import pandas as pd
+
+    from gpu_olap_tpu import EngineConfig, OlapEngine
+    from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
+
+    rng = np.random.default_rng(77)
+    n = 1 << 15
+    k1 = rng.integers(-8, 40, n).astype(np.int64)
+    s = np.array(["x", "y", "zz"])[rng.integers(0, 3, n)]
+    v = rng.integers(-50, 50, n).astype(np.int64)
+
+    def run(backend):
+        eng = OlapEngine(EngineConfig(backend=backend,
+                                      min_shape_bucket=1 << 14))
+        eng.register("t", {"k1": k1, "s": s, "v": v})
+        return (eng.query("SELECT k1, s, SUM(v) sv, MIN(v) mn, COUNT(*) c "
+                          "FROM t GROUP BY k1, s")
+                .to_pandas().sort_values(["k1", "s"]).reset_index(drop=True))
+
+    before = GLOBAL_METRICS.counters.get("pallas_seg_agg_trace", 0)
+    dev = run("device")
+    assert GLOBAL_METRICS.counters.get("pallas_seg_agg_trace", 0) > before, \
+        "packed multi-key shape should engage the Pallas seg_agg path"
+    cpu = run("cpu")
+    pd.testing.assert_frame_equal(cpu, dev, check_dtype=False)
