@@ -859,6 +859,69 @@ class _Interpreter:
         return {"code": code, "null": null, "dict": dictionary,
                 "dtype": expr.dtype, "range": vrange}
 
+    def _pack_keys(self, group_exprs, batch, keys, key_meta):
+        """Multi-key GROUP BY packing: when every key is statically null-free
+        int-kind with zone-map bounds whose span PRODUCT fits int32, fold the
+        tuple into ONE packed int32 code (sum of (k_i - lo_i) * stride_i).
+        One sort operand instead of N, and the single-int32-key Pallas
+        seg_agg hot path serves multi-key GROUP BY; outputs decode exactly on
+        the group-sized result (_group_key_cols).  The reference's hash
+        aggregate has no multi-key story at all (aggregate_kernel.rs:47-58
+        takes one group_key_ptr).
+
+        Returns (keys, packed_spec|None)."""
+        if len(keys) < 2 or any(null is not None for _, null in keys) \
+                or any(_np_kind(g.dtype) != "i" for g in group_exprs):
+            return keys, None
+
+        def code_range(g, dictionary):
+            # dictionary columns pack on their CODE space (0..len-1);
+            # _expr_range talks about VALUES and refuses dictionaries
+            if dictionary is not None:
+                return (0, len(dictionary) - 1)
+            return self._expr_range(g, batch)
+
+        rngs = [code_range(g, dct) for g, (_dt, dct)
+                in zip(group_exprs, key_meta)]
+        if any(r is None for r in rngs):
+            return keys, None
+        spans = [int(r[1]) - int(r[0]) + 1 for r in rngs]
+        prod = 1
+        for s in spans:
+            prod *= s
+        if not (0 < prod < (1 << 31) - 8):
+            return keys, None
+        strides = []
+        acc = 1
+        for s in reversed(spans):
+            strides.append(acc)
+            acc *= s
+        strides.reverse()
+        packed = None
+        for (code, _null), r, stride in zip(keys, rngs, strides):
+            ki = (code - jnp.asarray(int(r[0]), code.dtype)).astype(jnp.int32)
+            term = ki * np.int32(stride)
+            packed = term if packed is None else packed + term
+        return [(packed, None)], (rngs, strides)
+
+    @staticmethod
+    def _group_key_cols(group_codes, key_meta, packed_spec):
+        """Group-key output columns, decoding a packed code when present
+        (rows >= n_groups hold garbage and are sliced off host-side)."""
+        cols = []
+        if packed_spec is not None:
+            rngs, strides = packed_spec
+            rem = group_codes[0][0]
+            for (dtype, dictionary), r, stride in zip(key_meta, rngs, strides):
+                q = rem // np.int32(stride)
+                rem = rem - q * np.int32(stride)
+                cols.append(_decode_key(q + np.int32(int(r[0])), None,
+                                        dtype, dictionary))
+            return cols
+        for (code, null), (dtype, dictionary) in zip(group_codes, key_meta):
+            cols.append(_decode_key(code, null, dtype, dictionary))
+        return cols
+
     def _narrow32(self, expr: P.PhysExpr, batch: DevBatch, wide):
         """int32 operand for a zone-map-narrowable int64 expression: the
         table's upload-time shadow when the expression is a bare scan column
@@ -1077,6 +1140,8 @@ class _Interpreter:
                 code = self._narrow32(g, left, data)
             keys.append((code, null))
             key_meta.append((g.dtype, dictionary))
+        keys, packed_spec = self._pack_keys(plan.group_exprs, left, keys,
+                                            key_meta)
 
         cap_key = ("agg", path)
         max_groups = self.cap_override.get(
@@ -1131,9 +1196,7 @@ class _Interpreter:
             allow_pallas=self._seg_agg_on())
         self._push_flag(cap_key, overflow)
 
-        cols = []
-        for (code, null), (dtype, dictionary) in zip(group_codes, key_meta):
-            cols.append(_decode_key(code, null, dtype, dictionary))
+        cols = self._group_key_cols(group_codes, key_meta, packed_spec)
         for kind, i, j in post:
             if kind == "count":
                 cols.append(DevCol(results[i][0], None))
@@ -1288,46 +1351,8 @@ class _Interpreter:
             keys.append((code, null))
             key_meta.append((g.dtype, dictionary))
 
-        # multi-key packing: when every key is statically null-free int-kind
-        # with zone-map bounds whose span PRODUCT fits int32, fold the tuple
-        # into ONE packed int32 code (sum of (k_i - lo_i) * stride_i).  One
-        # sort operand instead of N, and the single-int32-key Pallas seg_agg
-        # hot path serves multi-key GROUP BY; outputs decode exactly on the
-        # max_groups-sized result (cheap).  The reference's hash aggregate
-        # has no multi-key story at all (aggregate_kernel.rs:47-58 takes one
-        # group_key_ptr).
-        def _code_range(g, dictionary):
-            # dictionary columns pack on their CODE space (0..len-1);
-            # _expr_range talks about VALUES and refuses dictionaries
-            if dictionary is not None:
-                return (0, len(dictionary) - 1)
-            return self._expr_range(g, batch)
-
-        packed_spec = None
-        if len(keys) >= 2 and all(null is None for _, null in keys) \
-                and all(_np_kind(g.dtype) == "i" for g in plan.group_exprs):
-            rngs = [_code_range(g, dct) for g, (_dt, dct)
-                    in zip(plan.group_exprs, key_meta)]
-            if all(r is not None for r in rngs):
-                spans = [int(r[1]) - int(r[0]) + 1 for r in rngs]
-                prod = 1
-                for s in spans:
-                    prod *= s
-                if 0 < prod < (1 << 31) - 8:
-                    strides = []
-                    acc = 1
-                    for s in reversed(spans):
-                        strides.append(acc)
-                        acc *= s
-                    strides.reverse()
-                    packed = None
-                    for (code, _null), r, stride in zip(keys, rngs, strides):
-                        ki = (code - jnp.asarray(int(r[0]), code.dtype)
-                              ).astype(jnp.int32)
-                        term = ki * np.int32(stride)
-                        packed = term if packed is None else packed + term
-                    packed_spec = (rngs, strides)
-                    keys = [(packed, None)]
+        keys, packed_spec = self._pack_keys(plan.group_exprs, batch, keys,
+                                            key_meta)
 
         cap_key = ("agg", path)
         if plan.group_exprs:
@@ -1376,18 +1401,7 @@ class _Interpreter:
         if plan.group_exprs:
             self._push_flag(cap_key, overflow)
 
-        cols = []
-        if packed_spec is not None:
-            rngs, strides = packed_spec
-            rem = group_codes[0][0]  # packed int32; rows >= n_groups garbage
-            for (dtype, dictionary), r, stride in zip(key_meta, rngs, strides):
-                q = rem // np.int32(stride)
-                rem = rem - q * np.int32(stride)
-                cols.append(_decode_key(q + np.int32(int(r[0])), None,
-                                        dtype, dictionary))
-        else:
-            for (code, null), (dtype, dictionary) in zip(group_codes, key_meta):
-                cols.append(_decode_key(code, null, dtype, dictionary))
+        cols = self._group_key_cols(group_codes, key_meta, packed_spec)
         for (data, valid), a, spec in zip(results, plan.aggs, specs):
             cols.append(DevCol(data, valid, spec.get("dictionary")))
 
