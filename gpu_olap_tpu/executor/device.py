@@ -1485,6 +1485,11 @@ class _Interpreter:
                 code = c.as_int32()
             keys.append((code, null))
             key_meta.append((f.dtype, c.dictionary))
+        # same multi-key packing as GROUP BY: DISTINCT over packable columns
+        # runs the single-int32-key hot path
+        exprs = [P.ColumnRef(f.dtype, i, f.name)
+                 for i, f in enumerate(batch.schema)]
+        keys, packed_spec = self._pack_keys(exprs, batch, keys, key_meta)
         cap_key = ("distinct", path)
         max_groups = self.cap_override.get(cap_key, batch.capacity)
         self.meta["capacities"][cap_key] = max_groups
@@ -1494,10 +1499,7 @@ class _Interpreter:
             allow_pallas=self._seg_agg_on(),
         )
         self._push_flag(cap_key, overflow)
-        cols = [
-            _decode_key(code, null, dtype, dictionary)
-            for (code, null), (dtype, dictionary) in zip(group_codes, key_meta)
-        ]
+        cols = self._group_key_cols(group_codes, key_meta, packed_spec)
         row_valid = jnp.arange(max_groups) < n_groups
         return DevBatch(plan.schema, cols, max_groups, row_valid,
                         prefix_count=n_groups)
