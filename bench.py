@@ -235,8 +235,11 @@ def bench_groupby_1b(n_rows: int, n_groups: int, iters: int):
         writer.close()
     eng = _engine(1 << 26)
     # 8M-row streamed chunks: amortize the ~30 ms relay dispatch floor and
-    # the per-chunk partial-aggregation program over 128 MB uploads
-    eng.config.batch_size = 1 << 23
+    # the per-chunk partial-aggregation program over 128 MB uploads.
+    # Feed depth 2: deep in-flight upload windows (8) wedged the relay on
+    # the first 1B attempt (child alive, zero CPU, no progress for 30 min)
+    eng.config.batch_size = int(os.environ.get("GPU_OLAP_1B_BATCH", 1 << 23))
+    eng.config.num_feed_buffers = int(os.environ.get("GPU_OLAP_1B_FEED", 2))
     eng.load_table("t", path)
     sql = "SELECT k, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx FROM t GROUP BY k"
     t0 = time.perf_counter()
@@ -570,11 +573,16 @@ def _merge_results(new_results: dict, statuses: dict, path: str):
         if name in new_results:
             merged[name] = {k: v for k, v in new_results[name].items()
                             if k != "stale"}
-        else:
+        elif name in statuses:
+            # planned THIS run but produced nothing: keep the last good
+            # number, marked stale
             merged[name] = dict(prev[name])
             merged[name]["stale"] = True
-            if name in statuses:
-                merged[name]["last_failure"] = statuses[name]
+            merged[name]["last_failure"] = statuses[name]
+        else:
+            # not part of this run (e.g. --only): carry through untouched —
+            # a failed single-config run must not stale-mark the others
+            merged[name] = dict(prev[name])
     return merged
 
 

@@ -337,6 +337,8 @@ class StreamingAggregator:
             jax.block_until_ready(dev_chunk)
             for buf in staged.popleft():
                 self.arena.release(buf)
+            if n_chunks % 16 == 0:
+                logger.info("streaming progress: %d chunks", n_chunks)
         logger.info("streamed %d chunks of %d rows (arena: %s)",
                     n_chunks, chunk_rows, self.arena.stats())
         if not n_chunks:
