@@ -513,6 +513,13 @@ def _kill_child(proc):
 
 def _child_main(name: str, args):
     """Child entry: run ONE workload, emit its result on a sentinel line."""
+    if os.environ.get("GPU_OLAP_LOG"):
+        import logging
+
+        logging.basicConfig(
+            level=getattr(logging, os.environ["GPU_OLAP_LOG"].upper(),
+                          logging.INFO),
+            format="%(asctime)s %(name)s: %(message)s")
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         # the axon sitecustomize force-registers the TPU platform and ignores
         # the env var; honor it explicitly (CLAUDE.md gotcha)
