@@ -62,10 +62,21 @@ class Catalog:
         """Register a Parquet table (``catalog.rs:32-73``)."""
         schema, row_count = arrow_io.read_parquet_schema(path)
         cache = None
-        stats = None
         if row_count < self._cache_threshold:
             cache = arrow_io.read_parquet(path)
             stats = compute_stats(cache)
+        else:
+            # out-of-core: zone maps from parquet METADATA (no data read) —
+            # int64 stats only, matching compute_stats' contract
+            import numpy as np
+
+            try:
+                raw = arrow_io.parquet_column_stats(path)
+            except Exception:  # noqa: BLE001 — stats are best-effort
+                raw = {}
+            int64_cols = {f.name for f in schema
+                          if f.dtype.numpy_dtype == np.dtype(np.int64)}
+            stats = {k: v for k, v in raw.items() if k in int64_cols} or None
         with self._lock:
             self._tables[name] = TableMetadata(schema, path, row_count, cache,
                                                stats)

@@ -318,27 +318,41 @@ class StreamingAggregator:
 
         staged = collections.deque()  # arena buffers per in-flight chunk
 
+        narrow = self._narrow_flags(pipe)
+
         def host_iter():
             for batch in chunks:
                 bufs, padded = _stage_batch_arrays(batch, chunk_rows,
-                                                   self.arena)
+                                                   self.arena, narrow)
                 staged.append(bufs)
                 yield padded
 
         n_chunks = 0
+        pending = collections.deque()  # (bufs, step-output marker)
+
+        def drain(limit):
+            while len(pending) > limit:
+                bufs, marker = pending.popleft()
+                # a chunk's staging buffers are reusable only once the STEP
+                # that consumed it finished: on the CPU backend device_put
+                # ALIASES the host buffer (zero-copy), so releasing after the
+                # transfer alone let later chunks overwrite queued inputs —
+                # a data race that produced duplicated groups (round-4 find;
+                # the marker is the step's tiny non-donated overflow output)
+                jax.block_until_ready(marker)
+                for buf in bufs:
+                    self.arena.release(buf)
+
         for dev_chunk in feeder.feed(host_iter()):
             state, (j_o, g_o) = step(state, build_args, *dev_chunk)
             overflow_j = overflow_j | j_o
             overflow_g = overflow_g | g_o
             n_chunks += 1
-            # this chunk's H2D transfer is complete once its device arrays
-            # are ready (compute keeps running async behind); its staging
-            # buffers can then be recycled for a later chunk
-            jax.block_until_ready(dev_chunk)
-            for buf in staged.popleft():
-                self.arena.release(buf)
+            pending.append((staged.popleft(), g_o))
+            drain(self.config.num_feed_buffers)
             if n_chunks % 16 == 0:
                 logger.info("streaming progress: %d chunks", n_chunks)
+        drain(0)
         logger.info("streamed %d chunks of %d rows (arena: %s)",
                     n_chunks, chunk_rows, self.arena.stats())
         if not n_chunks:
@@ -424,7 +438,7 @@ class StreamingAggregator:
             dicts = tuple(id(c.dictionary) if c.dictionary is not None
                           else None for c in build["batch"].cols)
         key = (id(pipe.aggregate), chunk_rows, max_groups, join_capacity,
-               bsig, dicts)
+               bsig, dicts, self._narrow_flags(pipe))
         hit = self._steps.get(key)
         if hit is not None:
             return hit[1]
@@ -433,6 +447,23 @@ class StreamingAggregator:
         # pin pipe (id stability) and build dictionaries alongside the step
         self._steps[key] = (pipe, step)
         return step
+
+    def _narrow_flags(self, pipe) -> tuple:
+        """Per-probe-column (narrow_to_int32, (lo, hi)|None): parquet-metadata
+        zone maps let int64 chunks stage and upload as int32 — HALF the bytes
+        through the host->device link, and the streamed step's sorts stay in
+        int32 space (no emulated-s64 operands)."""
+        stats = self.catalog.get_stats(pipe.scan.table_name) or {}
+        lo32 = np.iinfo(np.int32).min + 4
+        hi32 = np.iinfo(np.int32).max - 4
+        out = []
+        for f, nm in zip(pipe.scan.schema, self._probe_cols(pipe)):
+            st = stats.get(nm)
+            ok = bool(st is not None
+                      and f.dtype.numpy_dtype == np.dtype(np.int64)
+                      and lo32 < int(st[0]) and int(st[1]) < hi32)
+            out.append((ok, tuple(int(x) for x in st) if st else None))
+        return tuple(out)
 
     def _make_step(self, pipe: _StreamablePipeline, chunk_rows: int,
                    max_groups: int, partials, build=None,
@@ -459,8 +490,11 @@ class StreamingAggregator:
         build_schema = build["batch"].schema if build is not None else None
         sk_dtype = build["sk"].dtype if build is not None else None
 
+        narrow = self._narrow_flags(pipe)
+
         def step(state, build_args, valid_rows, *arrays):
-            cols = [DevCol(a, None, None) for a in arrays]
+            cols = [DevCol(a, None, None, int32_ok=ok, value_range=rng)
+                    for a, (ok, rng) in zip(arrays, narrow)]
             row_valid = jnp.arange(chunk_rows) < valid_rows
             batch = DevBatch(scan_schema, cols, chunk_rows, row_valid)
             for op in pipe.middle:
@@ -678,18 +712,22 @@ def _init_state(group_exprs, partials, max_groups: int):
 
 
 def _stage_batch_arrays(batch: ColumnBatch, chunk_rows: int,
-                        arena: BufferArena):
+                        arena: BufferArena, narrow=None):
     """Host batch -> (arena_buffers, (valid_rows, *staged arrays)).
 
     Each column is copied into a pooled arena buffer padded to ``chunk_rows``
     (``device_put`` always copies host numpy data, so the buffer is free for
     reuse once the transfer completes — the caller releases after
-    ``block_until_ready``)."""
+    ``block_until_ready``).  ``narrow``: per-column (to_int32, range) from
+    parquet-metadata zone maps — int64 columns stage as int32, halving the
+    bytes over the host->device link."""
     n = batch.num_rows
     out = [np.int64(n)]
     bufs = []
-    for c in batch.columns:
+    for i, c in enumerate(batch.columns):
         a = np.asarray(c.data)
+        if narrow is not None and narrow[i][0] and a.dtype == np.int64:
+            a = a.astype(np.int32)
         if a.shape[0] > chunk_rows:
             raise ValueError("chunk larger than batch_size")
         buf = arena.acquire(chunk_rows, a.dtype)

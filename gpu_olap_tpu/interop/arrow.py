@@ -166,6 +166,39 @@ def read_parquet_schema(path: str):
     return schema_from_arrow(pf.schema_arrow), pf.metadata.num_rows
 
 
+def parquet_column_stats(path: str) -> dict:
+    """Zone-map (min, max) per integer column from PARQUET METADATA only —
+    no data read.  Out-of-core tables get real statistics this way, which
+    drives int32 narrowing of streamed chunks (halves host->device bytes on
+    the slow link) and keeps the streamed programs in int32 space.  Columns
+    missing min/max in any row group are omitted."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    ncols = md.num_columns
+    names = [md.schema.column(i).name for i in range(ncols)]
+    mins = [None] * ncols
+    maxs = [None] * ncols
+    bad = [False] * ncols
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for i in range(ncols):
+            if bad[i]:
+                continue
+            st = row_group.column(i).statistics
+            if st is None or not st.has_min_max \
+                    or not isinstance(st.min, (int,)) \
+                    or not isinstance(st.max, (int,)) \
+                    or isinstance(st.min, bool):
+                bad[i] = True
+                continue
+            mins[i] = st.min if mins[i] is None else min(mins[i], st.min)
+            maxs[i] = st.max if maxs[i] is None else max(maxs[i], st.max)
+    return {names[i]: (int(mins[i]), int(maxs[i]))
+            for i in range(ncols)
+            if not bad[i] and mins[i] is not None}
+
+
 def read_parquet(path: str, columns=None) -> ColumnBatch:
     import pyarrow.parquet as pq
 
