@@ -595,7 +595,12 @@ class StreamingAggregator:
             return (new_keys, new_partials, new_valid), (join_overflow,
                                                          group_overflow)
 
-        return jax.jit(step, donate_argnums=(0,))
+        # donation is a state-buffer memory optimization only — and through
+        # the axon relay, ANY donated-jit compile wedges or SIGSEGVs the
+        # remote AOT compile helper (verified with a trivial s+x program).
+        # The group state is small (max_groups-sized); skip donation on TPU.
+        donate = () if jax.default_backend() == "tpu" else (0,)
+        return jax.jit(step, donate_argnums=donate)
 
     # ------------------------------------------------------------------
     def _finalize(self, agg: P.TpuAggregate, state, max_groups: int) -> ColumnBatch:
