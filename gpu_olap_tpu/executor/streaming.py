@@ -320,6 +320,18 @@ class StreamingAggregator:
 
         narrow = self._narrow_flags(pipe)
 
+        # compile the step BEFORE any chunk upload is in flight: through the
+        # axon relay, a compile issued while async device_puts are pending
+        # reliably crashed the remote compile helper (SIGSEGV) — every other
+        # healthy program in the engine compiles against already-resident
+        # data.  A zero-valid-rows chunk is a no-op on the state.
+        zero_chunk = [np.int64(0)]
+        for f, (ok, _rng) in zip(pipe.scan.schema, narrow):
+            dt = jnp.int32 if ok else f.dtype.numpy_dtype
+            zero_chunk.append(jnp.zeros(chunk_rows, dt))
+        state, (wj, wg) = step(state, build_args, *zero_chunk)
+        jax.block_until_ready(wg)
+
         def host_iter():
             for batch in chunks:
                 bufs, padded = _stage_batch_arrays(batch, chunk_rows,
