@@ -64,7 +64,10 @@ BASELINES = {
 # join, groupby) go FIRST — their compile caches are the ones kept warm
 # during development, and a budget skip then only costs the minor configs.
 HEADLINE_ORDER = ["join", "groupby", "filter_agg", "sortmerge", "join_lookup"]
-CONFIG_ORDER = list(HEADLINE_ORDER)
+# groupby_1b (the reference's literal flagship workload) is in the DEFAULT
+# plan as of round 5 (VERDICT r4 #1/#8): it runs last — a budget skip or
+# failure is then recorded in statuses instead of silently vanishing.
+CONFIG_ORDER = list(HEADLINE_ORDER) + ["groupby_1b"]
 
 SMOKE_MAX_AGE_S = 72 * 3600.0  # reuse tpu_smoke.json this recent
 
@@ -217,7 +220,9 @@ def bench_groupby_1b(n_rows: int, n_groups: int, iters: int):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    path = os.environ.get("GPU_OLAP_1B_PARQUET", "/tmp/gpu_olap_1b.parquet")
+    default_path = ("/tmp/gpu_olap_1b.parquet" if n_rows == 1_000_000_000
+                    else f"/tmp/gpu_olap_{n_rows}.parquet")
+    path = os.environ.get("GPU_OLAP_1B_PARQUET", default_path)
     if not os.path.exists(path):
         print(f"# writing {n_rows} rows to {path} ...", file=sys.stderr)
         rng = np.random.default_rng(42)
@@ -238,8 +243,12 @@ def bench_groupby_1b(n_rows: int, n_groups: int, iters: int):
     # the per-chunk partial-aggregation program over 128 MB uploads.
     # Feed depth 2: deep in-flight upload windows (8) wedged the relay on
     # the first 1B attempt (child alive, zero CPU, no progress for 30 min)
-    eng.config.batch_size = int(os.environ.get("GPU_OLAP_1B_BATCH", 1 << 23))
+    eng.config.batch_size = int(os.environ.get(
+        "GPU_OLAP_1B_BATCH", min(1 << 23, max(n_rows // 8, 1 << 20))))
     eng.config.num_feed_buffers = int(os.environ.get("GPU_OLAP_1B_FEED", 2))
+    # always exercise the out-of-core streamed path, even at --quick sizes
+    eng.catalog._cache_threshold = min(eng.catalog.cache_threshold,
+                                       max(n_rows // 4, 1))
     eng.load_table("t", path)
     sql = "SELECT k, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx FROM t GROUP BY k"
     t0 = time.perf_counter()
@@ -250,8 +259,18 @@ def bench_groupby_1b(n_rows: int, n_groups: int, iters: int):
         t0 = time.perf_counter()
         r = eng.query(sql)
         best = min(best, time.perf_counter() - t0)
-    return {"seconds": best, "rows": n_rows, "rows_per_sec": n_rows / best,
-            "groups": r.num_rows, "backend": r.meta.get("backend")}
+    out = {"seconds": best, "rows": n_rows, "rows_per_sec": n_rows / best,
+           "groups": r.num_rows, "backend": r.meta.get("backend")}
+    sa = getattr(eng._get_device_executor(), "_streaming", None)
+    if sa is not None:
+        # round-5 hash-partitioned streamed state (the >2M-group compile fix)
+        out["hash_state_parts"] = sa.last_hash_parts
+        out["stream_chunks"] = sa.last_stream_chunks
+        out["h2d_bytes"] = sa.last_link_bytes
+        if sa.last_link_bytes:
+            out["h2d_gbps_effective"] = round(
+                sa.last_link_bytes / best / 1e9, 3)
+    return out
 
 
 def bench_join(n_left: int, n_right: int, iters: int):
@@ -691,9 +710,7 @@ def main():
         return
 
     # ---- workloads, each in its own subprocess ------------------------
-    plan = list(CONFIG_ORDER)
-    if args.xl:
-        plan.append("groupby_1b")
+    plan = list(CONFIG_ORDER)  # --xl kept for compat; 1B is in the default plan
     if args.only:
         plan = [args.only]
 

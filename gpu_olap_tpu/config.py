@@ -44,6 +44,12 @@ class EngineConfig:
 
     # Hash-aggregate: max distinct groups a single pass can produce (padded output).
     max_groups: int = 1 << 21                 # 2M groups
+    # Out-of-core streaming: when a streamed GROUP BY needs a group state
+    # larger than this, the state is hash-partitioned across several
+    # smaller per-partition states (each streamed program carries one) —
+    # streamed-step programs with >2M-group state hang the remote TPU
+    # compiler (DESIGN_NOTES.md round-4), and smaller states sort less.
+    stream_state_partition_groups: int = 1 << 21
     # Join: output capacity as a multiple of the probe side (padded match buffer).
     join_expansion: float = 2.0
     # Join strategy threshold: build sides <= this use broadcast join

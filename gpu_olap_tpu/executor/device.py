@@ -1299,6 +1299,13 @@ class _Interpreter:
                         and int(rng[1]) < (1 << 15))
 
         wants = tuple((want[i][0], want[i][1], _sum16_ok(i)) for i in col_ix)
+        from ..ops.pallas.filter_agg import fits_vmem
+
+        # filter stream + each NON-aliased value column is one double-
+        # buffered HBM stream; too many cannot fit scoped VMEM even at the
+        # minimum block — fall back to XLA instead of a rejected compile
+        if not fits_vmem(1 + sum(1 for i in col_ix if i != lhs.index)):
+            return None
         n_valid = (batch.prefix_rows if batch.prefix_rows is not None
                    else batch.capacity)
         interpret = jax.default_backend() != "tpu"

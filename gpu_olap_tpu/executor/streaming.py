@@ -159,6 +159,9 @@ class StreamingAggregator:
         # compile instead of retracing per partition
         self._steps = {}
         self.last_partitioned = False
+        self.last_hash_parts = 1
+        self.last_stream_chunks = 0
+        self.last_link_bytes = 0
 
     def execute(self, plan: P.PhysicalPlan) -> ColumnBatch:
         agg_root, has_above = split_above_aggregate(plan)
@@ -187,6 +190,11 @@ class StreamingAggregator:
         if pipe.partitioned:
             return self._execute_partitioned(pipe, chunk_rows, max_groups,
                                              join_capacity, partials)
+
+        if pipe.join is None and self._hash_state_keys(pipe) is not None \
+                and max_groups > self.config.stream_state_partition_groups:
+            return self._execute_hash_state(pipe, chunk_rows, max_groups,
+                                            partials)
 
         build = self._prepare_build(pipe) if pipe.join is not None else None
         if build is not None:
@@ -301,6 +309,174 @@ class StreamingAggregator:
                            "retrying with join_capacity=%d max_groups=%d",
                            j_ovf, g_ovf, join_capacity, max_groups)
         raise RuntimeError("partitioned join capacities kept overflowing")
+
+    # ------------------------------------------------------------------
+    # Hash-partitioned streamed group state (the round-5 fix for the 1B-row
+    # GROUP BY, reference README.md:332-334): streamed-step programs whose
+    # group state exceeds ~2M slots hang the remote TPU compiler, so the
+    # state is split across P hash partitions of <= part_cap groups each.
+    # Chunks are hash-split BY GROUP KEY on the host while staging; each
+    # sub-chunk streams through the SAME compiled step (shared shapes)
+    # against its partition's state.  Group keys are disjoint across
+    # partitions, so finalized partitions simply concatenate — exact.
+    # ------------------------------------------------------------------
+    def _hash_state_keys(self, pipe) -> Optional[List[int]]:
+        """Host chunk column positions of the group keys, or None when the
+        pipeline shape does not support host-side key hashing: every group
+        expr must be a plain ColumnRef into the scan schema and the scan ->
+        aggregate middle must not reshape columns (filters are fine — they
+        are row-local and run on device after the split)."""
+        agg = pipe.aggregate
+        if not agg.group_exprs:
+            return None
+        if any(isinstance(op, P.TpuProjection) for op in pipe.middle):
+            return None
+        pos = []
+        for g in agg.group_exprs:
+            if not isinstance(g, P.ColumnRef):
+                return None
+            if g.index >= len(pipe.scan.schema):
+                return None
+            pos.append(g.index)
+        return pos
+
+    def _execute_hash_state(self, pipe, chunk_rows, max_groups,
+                            partials) -> ColumnBatch:
+        agg = pipe.aggregate
+        key_pos = self._hash_state_keys(pipe)
+        for attempt in range(5):
+            part_cap = self.config.stream_state_partition_groups >> 1
+            n_parts = 1
+            while (max_groups + n_parts - 1) // n_parts > (part_cap >> 1):
+                n_parts <<= 1
+            states = [_init_state(agg.group_exprs, partials, part_cap)
+                      for _ in range(n_parts)]
+            states, g_ovf = self._stream_hash_state(
+                pipe, chunk_rows, part_cap, n_parts, partials, states,
+                key_pos)
+            if not g_ovf:
+                self.last_hash_parts = n_parts
+                return _concat_batches(
+                    [self._finalize(agg, st, part_cap) for st in states],
+                    agg.schema)
+            max_groups = min(max_groups * 4, 1 << 26)
+            logger.warning("hash-state pass overflowed; retrying with "
+                           "max_groups=%d", max_groups)
+        raise RuntimeError("hash-state group capacities kept overflowing")
+
+    def _stream_hash_state(self, pipe, chunk_rows, part_cap, n_parts,
+                           partials, states, key_pos):
+        from .spill import spill_hash
+
+        step = self._get_step(pipe, chunk_rows, part_cap, partials, None, 0)
+        narrow = self._narrow_flags(pipe)
+        overflow_g = jnp.asarray(False)
+        feeder = DeviceFeeder(num_buffers=self.config.num_feed_buffers)
+
+        # compile before uploads are in flight (relay AOT crash, round-4)
+        zero_chunk = [np.int64(0)]
+        for f, (ok, _rng) in zip(pipe.scan.schema, narrow):
+            dt = jnp.int32 if ok else f.dtype.numpy_dtype
+            zero_chunk.append(jnp.zeros(chunk_rows, dt))
+        states[0], (_, wg) = step(states[0], (), *zero_chunk)
+        jax.block_until_ready(wg)
+
+        staged = collections.deque()    # (part, bufs) per in-flight sub-chunk
+        schema = pipe.scan.schema
+
+        def _col_dtype(i):
+            ok, _rng = narrow[i]
+            return np.int32 if ok else schema.field(i).dtype.numpy_dtype
+
+        def host_iter():
+            # per-partition accumulators: arena buffers filled row-by-row
+            # from the hash split; a full accumulator flushes as one padded
+            # sub-chunk (zero shape waste, one compiled step shape)
+            ncols = len(schema)
+            acc = [[self.arena.acquire(chunk_rows, _col_dtype(i))
+                    for i in range(ncols)] for _ in range(n_parts)]
+            fill = [0] * n_parts
+
+            def flush(p):
+                bufs = acc[p]
+                n = fill[p]
+                views = []
+                for b in bufs:
+                    v = b[:chunk_rows]
+                    if n < chunk_rows:
+                        v[n:] = 0
+                    views.append(v)
+                staged.append((p, bufs))
+                acc[p] = [self.arena.acquire(chunk_rows, _col_dtype(i))
+                          for i in range(ncols)]
+                fill[p] = 0
+                return (np.int64(n),) + tuple(views)
+
+            for batch in self._probe_chunks(pipe, chunk_rows):
+                # partition id per row from the raw group-key columns
+                h = np.zeros(batch.num_rows, dtype=np.uint64)
+                inval = None
+                for kp in key_pos:
+                    c = batch.columns[kp]
+                    kv = np.asarray(c.data)
+                    if kv.dtype.kind == "f":
+                        kv = kv.astype(np.float64).view(np.int64)
+                    h = h * np.uint64(0x100000001B3) ^ spill_hash(kv)
+                    if c.validity is not None:
+                        bad = ~np.asarray(c.validity)
+                        inval = bad if inval is None else (inval | bad)
+                pid = (h % np.uint64(n_parts)).astype(np.int64)
+                if inval is not None:
+                    pid[inval] = 0  # all-null key rows share one group
+                for p in range(n_parts):
+                    idx = np.flatnonzero(pid == p)
+                    pos = 0
+                    while pos < idx.size:
+                        take = min(chunk_rows - fill[p], idx.size - pos)
+                        sel = idx[pos:pos + take]
+                        for i, c in enumerate(batch.columns):
+                            a = np.asarray(c.data)
+                            acc[p][i][fill[p]:fill[p] + take] = a[sel]
+                        fill[p] += take
+                        pos += take
+                        if fill[p] == chunk_rows:
+                            yield flush(p)
+            for p in range(n_parts):
+                if fill[p]:
+                    yield flush(p)
+                else:
+                    for b in acc[p]:
+                        self.arena.release(b)
+
+        n_chunks = 0
+        pending = collections.deque()  # (bufs, step-output marker)
+
+        def drain(limit):
+            while len(pending) > limit:
+                bufs, marker = pending.popleft()
+                jax.block_until_ready(marker)
+                for buf in bufs:
+                    self.arena.release(buf)
+
+        for dev_chunk in feeder.feed(host_iter()):
+            p, bufs = staged.popleft()
+            states[p], (_, g_o) = step(states[p], (), *dev_chunk)
+            overflow_g = overflow_g | g_o
+            n_chunks += 1
+            pending.append((bufs, g_o))
+            drain(self.config.num_feed_buffers)
+            if n_chunks % 16 == 0:
+                logger.info("hash-state streaming progress: %d sub-chunks",
+                            n_chunks)
+        drain(0)
+        logger.info("hash-state streamed %d sub-chunks x %d rows over %d "
+                    "partitions (arena: %s)", n_chunks, chunk_rows, n_parts,
+                    self.arena.stats())
+        self.last_stream_chunks = n_chunks
+        self.last_link_bytes = n_chunks * sum(
+            chunk_rows * np.dtype(_col_dtype(i)).itemsize
+            for i in range(len(schema)))
+        return states, bool(np.asarray(overflow_g))
 
     def _stream_part(self, pipe, build, chunk_rows, max_groups,
                      join_capacity, partials, state, chunks):
@@ -421,9 +597,16 @@ class StreamingAggregator:
         inv = null if batch.row_valid is None else (null | ~batch.row_valid)
         sk, srow, nbv = join_ops.build_sorted(code, inv)
         # measured key duplication (host-side, pre-middle-ops: an upper
-        # bound) sizes the callers' per-chunk match buffers up front
+        # bound) sizes the callers' per-chunk match buffers up front.
+        # Only measurable when the build middle does not RESHAPE columns
+        # (ADVICE r4 #2: a projection reorders the layout, and key_expr
+        # indexes the post-middle batch — the raw host column at that
+        # position would be the wrong one); filters only shrink duplication,
+        # so the unfiltered measurement stays an upper bound.
         avg_dup = 1.0
         idxs = list(indices)
+        if any(isinstance(op, P.TpuProjection) for op in build_middle):
+            idxs = []
         if isinstance(key_expr, P.ColumnRef) and key_expr.index < len(idxs) \
                 and n > 0:
             key_host = np.asarray(host.columns[idxs[key_expr.index]].data)[:n]
@@ -641,6 +824,26 @@ class StreamingAggregator:
                 p_i += 1
             cols.append(_finalize_agg(a, vals))
         return ColumnBatch(agg.schema, cols, len(idx))
+
+
+def _concat_batches(batches: List[ColumnBatch], schema) -> ColumnBatch:
+    """Concatenate finalized per-partition group results (disjoint keys)."""
+    if len(batches) == 1:
+        return batches[0]
+    ncols = len(schema)
+    cols = []
+    for i in range(ncols):
+        data = np.concatenate([np.asarray(b.columns[i].data) for b in batches])
+        if any(b.columns[i].validity is not None for b in batches):
+            validity = np.concatenate([
+                np.asarray(b.columns[i].validity)
+                if b.columns[i].validity is not None
+                else np.ones(b.num_rows, dtype=bool)
+                for b in batches])
+        else:
+            validity = None
+        cols.append(Column(data, validity))
+    return ColumnBatch(schema, cols, sum(b.num_rows for b in batches))
 
 
 def _apply_one(interp, op, batch):

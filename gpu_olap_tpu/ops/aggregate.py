@@ -246,7 +246,8 @@ def groupby_aggregate(
     need_perm = False
     for spec in aggs:
         func = spec["func"]
-        if spec.get("distinct") and func == "count":
+        if spec.get("distinct") and func in ("count", "sum", "avg"):
+            # DISTINCT is a no-op for min/max, which fall through
             plans.append(("distinct", None))
             continue
         if func == "count" and spec.get("values") is None:
@@ -289,7 +290,13 @@ def groupby_aggregate(
     # merge pass (measured 518 -> 356 ms on 2x int32 at 100M rows on v5e).
     # Payload order within equal key tuples is aggregation-invariant here
     # (sums/counts are segment totals; the perm payload feeds a segmented
-    # min/max, also order-free).
+    # min/max, also order-free).  Caveat (ADVICE r4 #3): for FLOAT payloads
+    # "invariant" means exact up to summation ORDER — f64 SUM/AVG accumulate
+    # in whatever tie order this compiled program produced, which can differ
+    # from the stable build by rounding.  Results stay deterministic per
+    # compiled program; bit-stability ACROSS releases is not promised for
+    # float sums (same contract as the reference's atomicAdd aggregation,
+    # which is nondeterministic even per run, join_kernels.cuh:216-240).
     sorted_ops = jax.lax.sort(tuple(operands), num_keys=num_keys,
                               is_stable=False)
 
@@ -373,8 +380,8 @@ def groupby_aggregate(
         if kind == "size":
             results.append((sizes64, None))
         elif kind == "distinct":
-            results.append(_count_distinct(spec, key_ops, inv_thr,
-                                           static_prefix, max_groups, n))
+            results.append(_distinct_agg(spec, key_ops, inv_thr,
+                                         static_prefix, max_groups, n))
         elif kind == "primary":
             func = spec["func"]
             # null-free argument (no ride null lane): every output group has
@@ -627,15 +634,25 @@ def _agg_one_fallback(spec, perm, gid, in_prefix, starts, ends, n):
     return jnp.where(has_any, out, jnp.asarray(0, acc_dtype)), has_any
 
 
-def _count_distinct(spec, key_ops, inv_thr, static_prefix, max_groups, n):
-    """COUNT(DISTINCT x): secondary sort ordered by (group keys, x), distinct
-    flags from adjacency, cumsum + boundary diff."""
+def _distinct_agg(spec, key_ops, inv_thr, static_prefix, max_groups, n):
+    """COUNT/SUM/AVG(DISTINCT x): secondary sort ordered by (group keys, x),
+    distinct flags from adjacency, cumsum + boundary diff.  SUM/AVG carry the
+    raw value as a sort PAYLOAD and reduce only first occurrences (round-5
+    fix: the device path previously deduped COUNT only, silently summing
+    duplicates for SUM/AVG DISTINCT — oracle dedups all three,
+    executor/cpu.py:177-188)."""
+    func = spec["func"]
     values = spec["values"]
     valid = spec.get("valid")
     vcode, vnull = key_code(values, valid, spec.get("np_kind", "i"))
     nullable = _arg_nullable(spec)
     ops = list(key_ops) + ([vnull.astype(jnp.int32)] if nullable else []) + [vcode]
-    sorted2 = jax.lax.sort(tuple(ops), num_keys=len(ops), is_stable=False)
+    need_payload = func in ("sum", "avg")
+    if need_payload:
+        pay_dtype = np.float64 if func == "avg" else spec["acc_dtype"]
+        ops = ops + [values.astype(pay_dtype)]
+    num_keys = len(ops) - (1 if need_payload else 0)
+    sorted2 = jax.lax.sort(tuple(ops), num_keys=num_keys, is_stable=False)
     arange32 = jnp.arange(n, dtype=jnp.int32)
     if static_prefix is not None:
         in_pref2 = arange32 < np.int32(static_prefix)
@@ -659,16 +676,29 @@ def _count_distinct(spec, key_ops, inv_thr, static_prefix, max_groups, n):
         nval2 = jnp.asarray(n, jnp.int32)
     starts2, ends2, _ = _dense_boundaries(newflag2, arange32, n_groups2,
                                           nval2, max_groups)
-    vcode_s = sorted2[-1]
+    null_s = sorted2[key_end] if nullable else None
+    vcode_s = sorted2[key_end + (1 if nullable else 0)]
     vdiff = jnp.concatenate([jnp.ones(1, dtype=bool),
                              vcode_s[1:] != vcode_s[:-1]])
     distinct_new = newflag2 | vdiff
     if in_pref2 is not None:
         distinct_new = distinct_new & in_pref2
     if nullable:
-        distinct_new = distinct_new & (sorted2[-2] == 0)
+        distinct_new = distinct_new & (null_s == 0)
     cnt = _cnt_by_boundary(distinct_new, starts2, ends2)
-    return cnt, None
+    if func == "count":
+        return cnt, None
+    payload_s = sorted2[-1]
+    masked = jnp.where(distinct_new, payload_s,
+                       jnp.zeros((), payload_s.dtype))
+    ssum = _sum_by_boundary(masked, starts2, ends2)
+    has = cnt > 0
+    acc = spec["acc_dtype"]
+    if func == "sum":
+        out = jnp.where(has, ssum.astype(acc), jnp.asarray(0, acc))
+        return out, (has if _arg_nullable(spec) else None)
+    avg = jnp.where(has, ssum / jnp.maximum(cnt, 1).astype(jnp.float64), 0.0)
+    return avg, (has if _arg_nullable(spec) else None)
 
 
 def _global_aggregate(aggs, row_valid, n):
@@ -682,18 +712,42 @@ def _global_aggregate(aggs, row_valid, n):
         if func == "count" and values is None:
             results.append((jnp.sum(rv.astype(jnp.int64)).reshape(1), None))
             continue
-        if spec.get("distinct") and func == "count":
-            # global distinct: sort values, count adjacency changes
+        if spec.get("distinct") and func in ("count", "sum", "avg"):
+            # global distinct: sort values, first-occurrence adjacency mask
+            # (SUM/AVG ride the raw value as a payload and reduce only first
+            # occurrences — round-5 fix, previously COUNT-only dedup)
             vcode, vnull = key_code(values, valid, spec.get("np_kind", "i"))
             inv = (vnull | ~rv).astype(jnp.int32)
-            s_inv, s_code = jax.lax.sort((inv, vcode), num_keys=2,
-                                         is_stable=False)
+            ops = [inv, vcode]
+            if func in ("sum", "avg"):
+                pay_dtype = (np.float64 if func == "avg"
+                             else spec["acc_dtype"])
+                ops.append(values.astype(pay_dtype))
+            sorted_g = jax.lax.sort(tuple(ops), num_keys=2, is_stable=False)
+            s_inv, s_code = sorted_g[0], sorted_g[1]
             nv = n - jnp.sum(s_inv.astype(jnp.int64))
             arange = jnp.arange(n, dtype=jnp.int64)
             newv = jnp.concatenate([jnp.ones(1, dtype=bool),
                                     s_code[1:] != s_code[:-1]])
-            cnt = jnp.sum((newv & (arange < nv)).astype(jnp.int64))
-            results.append((cnt.reshape(1), None))
+            first = newv & (arange < nv)
+            cnt = jnp.sum(first.astype(jnp.int64))
+            if func == "count":
+                results.append((cnt.reshape(1), None))
+                continue
+            pay_s = sorted_g[2]
+            ssum = jnp.sum(jnp.where(first, pay_s,
+                                     jnp.zeros((), pay_s.dtype)))
+            has = (cnt > 0).reshape(1)
+            acc = spec["acc_dtype"]
+            if func == "sum":
+                results.append((jnp.where(cnt > 0, ssum.astype(acc),
+                                          jnp.asarray(0, acc)).reshape(1),
+                                has))
+            else:
+                avg = jnp.where(cnt > 0,
+                                ssum / jnp.maximum(cnt, 1).astype(jnp.float64),
+                                0.0)
+                results.append((avg.reshape(1), has))
             continue
         v_valid = rv if valid is None else (rv & valid)
         if func == "count":

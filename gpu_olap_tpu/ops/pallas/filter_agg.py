@@ -61,6 +61,15 @@ def _block_rows(n_streams: int) -> int:
     rows = _VMEM_BUDGET // ((n_streams * 2 + _TEMPS) * 4)
     return max(_BLOCK_MIN, 1 << (rows.bit_length() - 1)) if rows else _BLOCK_MIN
 
+
+def fits_vmem(n_streams: int) -> bool:
+    """True when ``n_streams`` double-buffered blocks + temporaries fit the
+    scoped-VMEM budget at the minimum block size.  Wide aggregates (many
+    distinct value columns) that don't fit must take the XLA mask path —
+    the Mosaic compile of an over-budget kernel is REJECTED on TPU, which
+    would fail the whole query program (ADVICE r4 #1)."""
+    return (n_streams * 2 + _TEMPS) * 4 * _BLOCK_MIN <= _VMEM_BUDGET
+
 _I32_MAX = np.int32(np.iinfo(np.int32).max)
 _I32_MIN = np.int32(np.iinfo(np.int32).min)
 

@@ -27,6 +27,12 @@ QUERIES = [
     "MIN(amount) AS mn, MAX(amount) AS mx FROM sales GROUP BY region",
     "SELECT region, year, SUM(quantity) AS q FROM sales GROUP BY region, year",
     "SELECT product_id, COUNT(DISTINCT customer_id) AS d FROM sales GROUP BY product_id",
+    # SUM/AVG DISTINCT dedup on device (round-5 fix: was COUNT-only)
+    "SELECT product_id, SUM(DISTINCT quantity) AS sd, AVG(DISTINCT quantity) AS ad "
+    "FROM sales GROUP BY product_id",
+    "SELECT SUM(DISTINCT quantity) AS sd, AVG(DISTINCT quantity) AS ad, "
+    "COUNT(DISTINCT quantity) AS cd FROM sales",
+    "SELECT region, SUM(DISTINCT v) AS sd FROM nullt GROUP BY region",
     "SELECT region, SUM(amount) AS s FROM sales GROUP BY region HAVING s > 100000",
     "SELECT region, MAX(amount) - MIN(amount) AS spread FROM sales GROUP BY region",
     "SELECT year, COUNT(*) AS n FROM sales WHERE amount > 120 GROUP BY year",

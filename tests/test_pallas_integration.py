@@ -153,6 +153,28 @@ def test_filter_agg_not_fused_shapes(engines_big):
                "ORDER BY k", hits=False)
 
 
+def test_filter_agg_wide_aggregate_falls_back(engines_big):
+    """ADVICE r4 #1: 1 filter + 6 distinct value columns = 7 double-buffered
+    VMEM streams — over the scoped-VMEM budget at the minimum block, so the
+    matcher must take the XLA mask path instead of a rejected Mosaic
+    compile."""
+    rng = np.random.default_rng(21)
+    n = 70_000
+    data = {c: rng.integers(0, 1000, n).astype(np.int64)
+            for c in ("a", "b", "c", "d", "e", "g", "h")}
+    dev = make_engine("device")
+    dev.register("w", data)
+    cpu = make_engine("cpu")
+    cpu.catalog = dev.catalog
+    sql = ("SELECT SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc, SUM(d) AS sd, "
+           "SUM(e) AS se, SUM(g) AS sg FROM w WHERE h > 500")
+    _parity_fa(dev, cpu, sql, hits=False)
+    # 4 value streams + filter still fits: the kernel must keep engaging
+    sql5 = ("SELECT SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc, SUM(d) AS sd "
+            "FROM w WHERE h > 500")
+    _parity_fa(dev, cpu, sql5, hits=True)
+
+
 def test_use_pallas_false_still_correct(engines):
     _, cpu = engines
     dev2 = make_engine("device", use_pallas=False)

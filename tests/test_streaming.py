@@ -191,6 +191,79 @@ def test_arena_staging_reuse(big_parquet):
 
 
 # ---------------------------------------------------------------------------
+# hash-partitioned streamed group state (the 1B-row GROUP BY fix, round 5:
+# streamed-step programs with >2M-group state hang the remote TPU compiler,
+# so big states split across P hash partitions of small per-part states)
+# ---------------------------------------------------------------------------
+
+def _hash_state_engine(path, sspg, max_groups):
+    eng = OlapEngine(EngineConfig(
+        backend="device",
+        table_cache_threshold_rows=1000,
+        batch_size=8192,
+        min_shape_bucket=1024,
+        max_groups=max_groups,
+        stream_state_partition_groups=sspg,
+    ))
+    eng.load_table("big", path)
+    return eng
+
+
+def test_hash_state_groupby_matches_oracle(big_parquet):
+    path, _ = big_parquet
+    sql = ("SELECT k, COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn, "
+           "MAX(v) AS mx, AVG(f) AS a FROM big GROUP BY k")
+    eng = _hash_state_engine(path, sspg=256, max_groups=4096)
+    res = eng.query(sql)
+    assert res.meta["backend"] == "streaming"
+    # the partitioned-state path actually engaged
+    sa = eng._get_device_executor()._streaming
+    assert sa.last_hash_parts > 1
+    got = res.to_pandas().sort_values("k").reset_index(drop=True)
+    exp = _oracle_engine(path).query(sql).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert got.k.tolist() == exp.k.tolist()
+    assert got.n.tolist() == exp.n.tolist()
+    assert got.s.tolist() == exp.s.tolist()
+    assert got.mn.tolist() == exp.mn.tolist()
+    assert got.mx.tolist() == exp.mx.tolist()
+    np.testing.assert_allclose(got.a.to_numpy(), exp.a.to_numpy(), rtol=1e-9)
+
+
+def test_hash_state_overflow_retries(big_parquet):
+    """Per-partition caps sized below the actual group count must grow and
+    retry, not fail or drop groups."""
+    path, _ = big_parquet
+    sql = "SELECT k, SUM(v) AS s FROM big GROUP BY k"
+    eng = _hash_state_engine(path, sspg=32, max_groups=64)
+    res = eng.query(sql)
+    assert res.meta["backend"] == "streaming"
+    got = res.to_pandas().sort_values("k").reset_index(drop=True)
+    exp = _oracle_engine(path).query(sql).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert got.k.tolist() == exp.k.tolist()
+    assert got.s.tolist() == exp.s.tolist()
+
+
+def test_hash_state_with_filter(big_parquet):
+    """Filters between scan and aggregate are row-local: the hash split on
+    unfiltered rows stays correct."""
+    path, table = big_parquet
+    sql = "SELECT k, COUNT(*) AS n FROM big WHERE v > 500 GROUP BY k"
+    eng = _hash_state_engine(path, sspg=128, max_groups=2048)
+    res = eng.query(sql)
+    assert res.meta["backend"] == "streaming"
+    import pandas as pd
+
+    df = pd.DataFrame({"k": table.column("k").to_numpy(),
+                       "v": table.column("v").to_numpy()})
+    exp = df[df.v > 500].groupby("k").size().reset_index(name="n")
+    got = res.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got.k.tolist() == exp.k.tolist()
+    assert got.n.tolist() == exp.n.tolist()
+
+
+# ---------------------------------------------------------------------------
 # grace-join partitioned path: BOTH sides above the cache threshold
 # ---------------------------------------------------------------------------
 
