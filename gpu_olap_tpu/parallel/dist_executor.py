@@ -53,6 +53,12 @@ class _ScanPipeline:
     middle: List[P.PhysicalPlan]  # bottom-up filters/projections
 
 
+def _strip_fp(node: P.PhysicalPlan) -> P.PhysicalPlan:
+    while isinstance(node, (P.TpuFilter, P.TpuProjection)):
+        node = node.input
+    return node
+
+
 def _match_scan_pipeline(node: P.PhysicalPlan) -> _ScanPipeline:
     middle: List[P.PhysicalPlan] = []
     while isinstance(node, (P.TpuFilter, P.TpuProjection)):
@@ -76,8 +82,12 @@ class _DistPlan:
 def match_distributable(plan: P.PhysicalPlan) -> _DistPlan:
     if not isinstance(plan, P.TpuAggregate):
         raise NotDistributable(type(plan).__name__)
-    if any(a.distinct for a in plan.aggs):
-        raise NotDistributable("COUNT(DISTINCT) distributed")
+    if any(a.distinct for a in plan.aggs) and \
+            isinstance(_strip_fp(plan.input), P.TpuHashJoin):
+        # DISTINCT over a join output would need a SECOND row shuffle by
+        # group key after the join; scan pipelines handle it (see
+        # _run_distinct_groupby), joins fall back to single-device
+        raise NotDistributable("DISTINCT aggregate over distributed join")
     middle: List[P.PhysicalPlan] = []
     node = plan.input
     while isinstance(node, (P.TpuFilter, P.TpuProjection)):
@@ -167,6 +177,8 @@ class DistributedExecutor:
         partial row per source device regardless of its row count."""
         sp = dp.single
         agg = dp.aggregate
+        if any(a.distinct for a in agg.aggs):
+            return self._run_distinct_groupby(dp)
         if not agg.group_exprs:
             return self._run_global_pipeline(dp)
         arrays, rowmask, per_dev, dicts = self._sharded_table(sp.scan)
@@ -228,6 +240,172 @@ class DistributedExecutor:
             logger.warning("distributed groupby overflow; retrying with "
                            "max_groups=%d part_cap=%d", max_groups, part_cap)
         raise NotDistributable("distributed groupby kept overflowing")
+
+    # ------------------------------------------------------------------
+    def _run_distinct_groupby(self, dp: _DistPlan) -> ColumnBatch:
+        """Distributed DISTINCT aggregates (VERDICT r4 #7): raw rows shuffle
+        by GROUP-KEY hash (or by the distinct argument for global
+        aggregates), so each group (or each distinct value) lives wholly on
+        one device and the LOCAL aggregation is exact — no approximate
+        sketches, no combiner.  Shuffle traffic is O(rows), the price of
+        exactness; the combiner stays the default for mergeable aggregates."""
+        sp = dp.single
+        agg = dp.aggregate
+        grouped = bool(agg.group_exprs)
+        if not grouped:
+            # all distinct arguments must be colocatable by ONE shuffle key
+            dargs = [a.arg for a in agg.aggs if a.distinct]
+            if any(a is None for a in dargs) or \
+                    len({repr(a) for a in dargs}) != 1:
+                raise NotDistributable(
+                    "global DISTINCT aggregates need one common argument")
+            dist_arg = dargs[0]
+        arrays, rowmask, per_dev, _ = self._sharded_table(sp.scan)
+        interp = self._interp_cls(self.config, {}, {}, {"flag_names": [],
+                                                        "capacities": {}})
+        ndev = self.ndev
+
+        from ..executor.device import DevBatch, DevCol, _np_kind
+
+        n_cols = len(arrays)
+        in_specs = tuple(Pspec(AXIS) for _ in range(1 + 2 * n_cols))
+        # grouped results stay sharded (disjoint group keys per device);
+        # global results are psum/pmin/pmax-merged and come out replicated
+        res_spec = Pspec(AXIS) if grouped else Pspec()
+        out_specs = (
+            tuple((Pspec(AXIS), Pspec(AXIS)) for _ in agg.group_exprs),
+            tuple((res_spec, res_spec) for _ in agg.aggs),
+            res_spec,
+            Pspec(),
+        )
+
+        def make_program(shuffle_cap, max_groups):
+            @functools.partial(shard_map, mesh=self.mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False)
+            def program(rowmask_l, *flat_arrays):
+                cols = []
+                for i in range(n_cols):
+                    d = flat_arrays[2 * i]
+                    v = flat_arrays[2 * i + 1]
+                    v = None if v.shape[0] == 0 else v
+                    cols.append(DevCol(d, v, None))
+                batch = DevBatch(sp.scan.schema, cols, rowmask_l.shape[0],
+                                 rowmask_l)
+                batch = _apply_middle(interp, sp.middle, batch)
+                rv = (batch.row_valid if batch.row_valid is not None
+                      else jnp.ones(batch.capacity, bool))
+                if grouped:
+                    d, v, _ = interp.eval_expr(agg.group_exprs[0], batch)
+                    part_pair = key_code(d, v,
+                                         _np_kind(agg.group_exprs[0].dtype))
+                else:
+                    d, v, _ = interp.eval_expr(dist_arg, batch)
+                    part_pair = key_code(d, v, _np_kind(dist_arg.dtype))
+                part = _partition_key((part_pair[0],
+                                       part_pair[1] if part_pair[1] is not None
+                                       else jnp.zeros(batch.capacity, bool)))
+                lanes = []
+                for c in batch.cols:
+                    lanes.append(c.data)
+                    lanes.append(c.validity if c.validity is not None
+                                 else jnp.ones(c.data.shape[0], bool))
+                rk, shipped, svalid, sh_of = shuffle_rows_local(
+                    part, lanes, rv, ndev, shuffle_cap)
+                it = iter(shipped)
+                cols2 = []
+                for _c in batch.cols:
+                    d2 = next(it)
+                    v2 = next(it).astype(bool)
+                    cols2.append(DevCol(d2, v2, None))
+                b2 = DevBatch(batch.schema, cols2, ndev * shuffle_cap, svalid)
+
+                key_pairs = []
+                for g in agg.group_exprs:
+                    d, v, _ = interp.eval_expr(g, b2)
+                    key_pairs.append(key_code(d, v, _np_kind(g.dtype)))
+                specs = []
+                for a in agg.aggs:
+                    if a.arg is None:
+                        specs.append({"func": a.func, "values": None,
+                                      "valid": None, "distinct": a.distinct,
+                                      "acc_dtype": np.int64})
+                        continue
+                    d, v, _ = interp.eval_expr(a.arg, b2)
+                    specs.append({
+                        "func": a.func, "values": d, "valid": v,
+                        "distinct": a.distinct,
+                        "acc_dtype": (np.float64 if a.func == "avg"
+                                      else a.out_dtype.numpy_dtype),
+                        "np_kind": _np_kind(a.arg.dtype)})
+                mg = max_groups if grouped else 1
+                codes, results, n_groups, g_of = agg_ops.groupby_aggregate(
+                    key_pairs, svalid, specs, mg,
+                    n_rows=ndev * shuffle_cap)
+                if grouped:
+                    gvalid = jnp.arange(mg) < n_groups
+                else:
+                    # merge per-device global partials over the mesh: rows
+                    # shuffled by the distinct argument, so distinct
+                    # count/sum partials are over DISJOINT value sets
+                    gvalid = jnp.ones(1, bool)
+                    merged = []
+                    for (data, has), a in zip(results, agg.aggs):
+                        h = (has if has is not None
+                             else jnp.ones(data.shape, bool))
+                        anyh = jax.lax.pmax(h.astype(jnp.int32), AXIS) > 0
+                        if a.func in ("count",):
+                            merged.append((jax.lax.psum(data, AXIS),
+                                           jnp.ones(data.shape, bool)))
+                        elif a.func == "sum":
+                            z = jnp.where(h, data, jnp.zeros((), data.dtype))
+                            merged.append((jax.lax.psum(z, AXIS), anyh))
+                        elif a.func == "min":
+                            big = _ident_for(data.dtype, True)
+                            merged.append((jax.lax.pmin(
+                                jnp.where(h, data, big), AXIS), anyh))
+                        elif a.func == "max":
+                            small = _ident_for(data.dtype, False)
+                            merged.append((jax.lax.pmax(
+                                jnp.where(h, data, small), AXIS), anyh))
+                        else:
+                            # AVG is finalized locally and not mergeable;
+                            # gated before program construction below
+                            raise NotDistributable("avg merge")
+                    results = tuple(merged)
+                overflow = jax.lax.pmax(
+                    (sh_of | g_of).astype(jnp.int32), AXIS)
+                return (tuple((c, n if n is not None
+                               else jnp.zeros(c.shape, bool))
+                              for c, n in codes),
+                        tuple((d, h if h is not None
+                               else jnp.ones(d.shape, bool))
+                              for d, h in results),
+                        gvalid, overflow.reshape(1))
+
+            return jax.jit(program)
+
+        flat = []
+        for d, v in arrays:
+            flat.append(d)
+            flat.append(v if v is not None else
+                        jax.device_put(np.zeros(0, dtype=bool),
+                                       row_sharding(self.mesh)))
+
+        if not grouped and any(a.func == "avg" for a in agg.aggs):
+            raise NotDistributable("global AVG(DISTINCT) merge")
+        shuffle_cap = max(-(-per_dev * 2 // ndev), 128)
+        max_groups = min(self.config.max_groups, 1 << 20)
+        for attempt in range(4):
+            gkeys, gresults, gvalid, overflow = make_program(
+                shuffle_cap, max_groups)(rowmask, *flat)
+            if not int(np.asarray(overflow)[0]):
+                return _gather_groups(agg, gkeys, gresults, gvalid)
+            shuffle_cap *= 2
+            max_groups = min(max_groups * 4, 1 << 22)
+            logger.warning("distributed distinct overflow; retrying with "
+                           "shuffle_cap=%d max_groups=%d",
+                           shuffle_cap, max_groups)
+        raise NotDistributable("distributed distinct kept overflowing")
 
     # ------------------------------------------------------------------
     def _run_global_pipeline(self, dp: _DistPlan) -> ColumnBatch:
@@ -658,6 +836,14 @@ def _combine_shuffle_merge(interp, agg, key_pairs, batch, row_valid, ndev,
     return (tuple((c, n if n is not None else jnp.zeros(max_groups, bool))
                   for c, n in mg_codes),
             tuple(results), gvalid, overflow)
+
+
+def _ident_for(dtype, is_min: bool):
+    """Reduction identity for masked pmin/pmax lanes."""
+    if np.dtype(dtype).kind == "f":
+        return jnp.asarray(np.inf if is_min else -np.inf, dtype)
+    big = np.iinfo(np.dtype(dtype)).max if is_min else np.iinfo(np.dtype(dtype)).min
+    return jnp.asarray(big, dtype)
 
 
 def _partition_key(key_pair):
