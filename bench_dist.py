@@ -39,7 +39,10 @@ def bench_step(ndev: int, rows_per_dev: int, iters: int, zipf: bool):
     rng = np.random.default_rng(0)
     n_keys = max(n // 16, 64)
     if zipf:
-        raw = rng.zipf(1.2, n).astype(np.int64)
+        # a=1.5: the hot key carries ~38% of probe mass (1/zeta(1.5)) — a
+        # genuinely skewed BASELINE config-5 shape that exceeds a device's
+        # uniform share at any mesh size, so the broadcast path must engage
+        raw = rng.zipf(1.5, n).astype(np.int64)
         lk = np.clip(raw, 1, n_keys) - 1
     else:
         lk = rng.integers(0, n_keys, n).astype(np.int64)
@@ -47,21 +50,50 @@ def bench_step(ndev: int, rows_per_dev: int, iters: int, zipf: bool):
     lv = rng.integers(1, 100, n).astype(np.int64)
     rv = rng.integers(1, 100, n).astype(np.int64)
 
-    # skew-aware shuffle capacity from the partition histogram
     import jax.numpy as jnp
 
-    hist = np.asarray(skew.partition_histogram(jnp.asarray(lk), ndev))
-    capacity = skew.recommend_capacity(hist, ndev, headroom=1.3)
+    heavy = np.zeros(0, dtype=np.int64)
+    if zipf:
+        # BASELINE config 5: heavy probe keys (host-side detection) engage
+        # the broadcast path — their build rows replicate, their probe rows
+        # join locally, so no device receives a hot key's full probe mass
+        heavy = skew.detect_heavy_keys(lk, row_threshold=max(
+            256, rows_per_dev // 4))
+        light_mask = ~np.isin(lk, heavy)
+        hist = np.asarray(skew.partition_histogram(
+            jnp.asarray(lk[light_mask]), ndev))
+    else:
+        hist = np.asarray(skew.partition_histogram(jnp.asarray(lk), ndev))
+    # shuffle capacity must hold BOTH shuffled sides: the (light) probe
+    # histogram peak AND the ~uniform build side
+    rhist = np.asarray(skew.partition_histogram(jnp.asarray(rk), ndev))
+    capacity = max(
+        skew.recommend_capacity(hist, ndev, headroom=1.6 if zipf else 1.3),
+        skew.recommend_capacity(rhist, ndev, headroom=1.3))
     # expected matches/probe ~= n_right/n_keys = 16; 1.5x headroom.  (An
     # oversized buffer is pure waste: every downstream sort runs at the
     # buffer size, not the match count.)
     join_capacity = rows_per_dev * 24
+    if zipf:
+        # heavy probe rows join locally: worst-case heavy mass on one device
+        # is ~its local share; matches ~= share * dups (16) — keep the same
+        # headroom rule as the light side
+        join_capacity = rows_per_dev * 32
 
     max_groups = min(n_keys, 1 << 20)
-    step = dist_ops.make_dist_join_groupby(
-        mesh, capacity=capacity, join_capacity=join_capacity,
-        max_groups=max_groups, agg_funcs=("sum", "count"),
-    )
+    if heavy.size:
+        dups = max(n // n_keys, 1)
+        heavy_build_cap = max(256, 4 * dups * int(heavy.size))
+        step = dist_ops.make_dist_join_groupby_skew(
+            mesh, capacity=capacity, join_capacity=join_capacity,
+            max_groups=max_groups, agg_funcs=("sum", "count"),
+            heavy_keys=heavy, heavy_build_cap=heavy_build_cap,
+        )
+    else:
+        step = dist_ops.make_dist_join_groupby(
+            mesh, capacity=capacity, join_capacity=join_capacity,
+            max_groups=max_groups, agg_funcs=("sum", "count"),
+        )
 
     def shard(a):
         return jax.device_put(a, sharding)
@@ -83,7 +115,18 @@ def bench_step(ndev: int, rows_per_dev: int, iters: int, zipf: bool):
         best = min(best, time.perf_counter() - t0)
     total_rows = 2 * n
 
-    # ---- per-stage attribution: shuffle (all-to-all) vs local compute ----
+    out_d = {"ndev": ndev, "rows": total_rows, "seconds": best,
+             "rows_per_sec": total_rows / best,
+             "shuffle_capacity": int(capacity)}
+    if heavy.size:
+        out_d["mode"] = "skew-broadcast"
+        out_d["heavy_keys"] = int(heavy.size)
+        heavy_mass = float(np.isin(lk, heavy).mean())
+        out_d["heavy_probe_mass"] = round(heavy_mass, 4)
+        return out_d
+
+    # ---- per-stage attribution (uniform program only): shuffle
+    # (all-to-all) vs local compute ----
     shuf_fn, local_fn = dist_ops.make_dist_join_groupby_stages(
         mesh, capacity=capacity, join_capacity=join_capacity,
         max_groups=max_groups, agg_funcs=("sum", "count"))
@@ -105,14 +148,13 @@ def bench_step(ndev: int, rows_per_dev: int, iters: int, zipf: bool):
         jax.block_until_ready(lout)
         t_local = min(t_local, time.perf_counter() - t0)
 
-    return {"ndev": ndev, "rows": total_rows, "seconds": best,
-            "rows_per_sec": total_rows / best,
-            "shuffle_seconds": t_shuf, "local_seconds": t_local,
-            "shuffle_frac": round(t_shuf / (t_shuf + t_local), 4),
-            "shuffle_capacity": int(capacity)}
+    out_d.update({"shuffle_seconds": t_shuf, "local_seconds": t_local,
+                  "shuffle_frac": round(t_shuf / (t_shuf + t_local), 4)})
+    return out_d
 
 
-def run_pinned(ndev: int, cores: str, rows_per_dev: int, iters: int):
+def run_pinned(ndev: int, cores: str, rows_per_dev: int, iters: int,
+               zipf: bool = False):
     """Subprocess with a pinned CPU set and its own virtual device count —
     the only way to hold CPU-per-device constant across mesh sizes on a
     shared host (VERDICT r3 #6: measure, don't model, the environment)."""
@@ -124,7 +166,7 @@ def run_pinned(ndev: int, cores: str, rows_per_dev: int, iters: int):
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
     cmd = ["taskset", "-c", cores, sys.executable, __file__,
            "--oneshot", str(ndev), "--rows-per-dev", str(rows_per_dev),
-           "--iters", str(iters)]
+           "--iters", str(iters)] + (["--zipf"] if zipf else [])
     proc = subprocess.run(cmd, stdout=subprocess.PIPE, env=env, timeout=3600)
     for line in reversed(proc.stdout.decode().splitlines()):
         try:
@@ -135,7 +177,7 @@ def run_pinned(ndev: int, cores: str, rows_per_dev: int, iters: int):
                        f"(rc={proc.returncode})")
 
 
-def compute_bound_protocol(rows_per_dev: int, iters: int):
+def compute_bound_protocol(rows_per_dev: int, iters: int, zipf: bool = False):
     """Weak-scaling efficiency with CPU-per-device held constant: the
     1-device baseline runs pinned to ONE core; the 2-device mesh gets both
     cores (one per device).  Unlike the raw virtual-mesh curve (8 devices
@@ -148,13 +190,15 @@ def compute_bound_protocol(rows_per_dev: int, iters: int):
     if ncores < 2:
         print("# <2 cores: compute-bound protocol unavailable", file=sys.stderr)
         return None
-    base = run_pinned(1, "0", rows_per_dev, iters)
-    two = run_pinned(2, "0,1", rows_per_dev, iters)
+    base = run_pinned(1, "0", rows_per_dev, iters, zipf)
+    two = run_pinned(2, "0,1", rows_per_dev, iters, zipf)
     eff = base["seconds"] / two["seconds"]
-    out = {"mode": "compute-bound-weak", "rows_per_dev": rows_per_dev,
+    out = {"mode": "compute-bound-weak" + ("-zipf" if zipf else ""),
+           "rows_per_dev": rows_per_dev, "zipf": zipf,
            "baseline_1dev_1core": base, "mesh_2dev_2core": two,
            "weak_scaling_efficiency": round(eff, 4)}
-    print(f"# compute-bound weak scaling: t1={base['seconds']:.3f}s "
+    print(f"# compute-bound weak scaling{' (zipf)' if zipf else ''}: "
+          f"t1={base['seconds']:.3f}s "
           f"t2={two['seconds']:.3f}s efficiency={eff:.2%} "
           f"(2dev shuffle_frac={two.get('shuffle_frac')})", file=sys.stderr)
     return out
@@ -186,18 +230,22 @@ def main():
         return
 
     if args.compute_bound:
-        out = compute_bound_protocol(args.rows_per_dev, args.iters)
+        out = compute_bound_protocol(args.rows_per_dev, args.iters, args.zipf)
         if out is not None:
             try:
                 with open("bench_dist.json") as f:
                     payload = json.load(f)
             except (OSError, json.JSONDecodeError):
                 payload = {}
-            payload["compute_bound"] = out
+            key = "compute_bound_zipf" if args.zipf else "compute_bound"
+            payload[key] = out
+            if args.zipf:
+                payload["zipf"] = True  # the skew config has a recorded run
             with open("bench_dist.json", "w") as f:
                 json.dump(payload, f, indent=2)
+            tag = "_zipf" if args.zipf else ""
             print(json.dumps({
-                "metric": "dist_weak_scaling_efficiency_2dev",
+                "metric": f"dist_weak_scaling_efficiency_2dev{tag}",
                 "value": out["weak_scaling_efficiency"],
                 "unit": "frac",
                 "vs_baseline": round(out["weak_scaling_efficiency"] / 0.7, 4),
@@ -228,8 +276,18 @@ def main():
             print(f"# ndev={r['ndev']}: efficiency "
                   f"{r['scaling_efficiency']:.2%}", file=sys.stderr)
 
+    try:
+        with open("bench_dist.json") as f:
+            payload = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        payload = {}
+    payload["results_zipf" if args.zipf else "results"] = results
+    if args.zipf:
+        payload["zipf"] = True
+    elif "zipf" not in payload:
+        payload["zipf"] = False
     with open("bench_dist.json", "w") as f:
-        json.dump({"results": results, "zipf": args.zipf}, f, indent=2)
+        json.dump(payload, f, indent=2)
     last = results[-1] if results else {"rows_per_sec": 0, "ndev": 0}
     print(json.dumps({
         "metric": f"dist_join_groupby_rows_per_sec_{last['ndev']}dev",

@@ -66,6 +66,25 @@ QUERIES = [
     "SELECT date_part('day', ts) AS d, date_part('hour', ts) AS h FROM events WHERE ev = 3",
     # LIKE
     "SELECT COUNT(*) AS n FROM customers WHERE customer_name LIKE 'cust00%'",
+    # reference example workloads, verbatim shapes (VERDICT r4 #10:
+    # /root/reference/examples/python_usage.py:226-245, 275-284)
+    "SELECT c.region, p.category, "
+    "COUNT(DISTINCT o.order_id) AS num_orders, "
+    "COUNT(DISTINCT c.customer_id) AS num_customers, "
+    "SUM(oi.quantity * p.price) AS total_revenue, "
+    "AVG(oi.quantity * p.price) AS avg_order_value "
+    "FROM orders o "
+    "JOIN order_items oi ON o.order_id = oi.order_id "
+    "JOIN products p ON oi.product_id = p.product_id "
+    "JOIN customers c ON o.customer_id = c.customer_id "
+    "WHERE o.order_date >= '2024-01-01' AND o.order_date < '2024-07-01' "
+    "AND o.status = 'completed' "
+    "GROUP BY c.region, p.category "
+    "HAVING total_revenue > 9000 "
+    "ORDER BY total_revenue DESC",
+    "SELECT date_part('year', ts) AS year, date_part('month', ts) AS month, "
+    "COUNT(*) AS num_events, SUM(ev) AS total_value "
+    "FROM events GROUP BY year, month ORDER BY year, month",
     # empty results
     "SELECT amount FROM sales WHERE amount > 1e18",
     "SELECT region, SUM(amount) AS s FROM sales WHERE amount > 1e18 GROUP BY region",
@@ -94,6 +113,29 @@ def _populate(eng, rng):
     vals = rng.normal(0, 2, 400)
     vals[rng.random(400) < 0.3] = np.nan
     eng.register("nullt", {"region": rng.choice(["a", "b", "c"], 400), "v": vals})
+    # reference example-workload tables (orders/order_items/products shapes,
+    # python_usage.py:220-245 there)
+    n_ord = 800
+    months = rng.integers(1, 13, n_ord)
+    eng.register("orders", {
+        "order_id": np.arange(n_ord),
+        "customer_id": rng.integers(0, 300, n_ord),
+        "order_date": np.array([f"2024-{m:02d}-{d:02d}" for m, d in
+                                zip(months, rng.integers(1, 29, n_ord))]),
+        "status": rng.choice(["completed", "pending", "cancelled"], n_ord,
+                             p=[0.7, 0.2, 0.1]),
+    })
+    n_items = 2500
+    eng.register("order_items", {
+        "order_id": rng.integers(0, n_ord, n_items),
+        "product_id": rng.integers(0, 50, n_items),
+        "quantity": rng.integers(1, 10, n_items),
+    })
+    eng.register("products", {
+        "product_id": np.arange(50),
+        "category": rng.choice(["tools", "toys", "food", "books"], 50),
+        "price": np.round(rng.uniform(1, 100, 50), 2),
+    })
     base = np.datetime64("2023-06-01T00:00:00", "ms").astype(np.int64)
     ts = base + rng.integers(0, 400 * 24 * 3600 * 1000, 500, dtype=np.int64)
     eng.register("events", {"ts": ts.astype("datetime64[ms]"),
