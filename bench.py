@@ -246,6 +246,10 @@ def bench_groupby_1b(n_rows: int, n_groups: int, iters: int):
     eng.config.batch_size = int(os.environ.get(
         "GPU_OLAP_1B_BATCH", min(1 << 23, max(n_rows // 8, 1 << 20))))
     eng.config.num_feed_buffers = int(os.environ.get("GPU_OLAP_1B_FEED", 2))
+    # per-partition streamed-state threshold (states above HALF this size
+    # hash-split; see executor/streaming.py) — env-tunable for TPU triage
+    eng.config.stream_state_partition_groups = int(os.environ.get(
+        "GPU_OLAP_1B_PART", eng.config.stream_state_partition_groups))
     # always exercise the out-of-core streamed path, even at --quick sizes
     eng.catalog._cache_threshold = min(eng.catalog.cache_threshold,
                                        max(n_rows // 4, 1))

@@ -381,20 +381,28 @@ class DeviceExecutor:
             # device-side prefix compaction so the host transfers only
             # count rows, not the padded capacity (critical when the result
             # is small and the device link is slow)
+            def wire(c):
+                # zone-map/aggregate-proven int32 results transfer narrow
+                # (_to_host widens back): halves those columns' bytes on the
+                # tens-of-MB/s relay link (VERDICT r4 #3)
+                if c.int32_ok and c.data.dtype == jnp.int64:
+                    return c.as_int32()
+                return c.data
+
             rv = batch.row_valid
             if rv is None:
                 count = jnp.asarray(batch.capacity, dtype=jnp.int64)
-                cols_out = [(c.data, c.validity) for c in batch.cols]
+                cols_out = [(wire(c), c.validity) for c in batch.cols]
             elif batch.prefix_rows is not None or batch.prefix_count is not None:
                 # valid rows already form a prefix: the host slice [:count]
                 # IS the compaction — skip the capacity-sized sort + gathers
                 count = batch.count()
-                cols_out = [(c.data, c.validity) for c in batch.cols]
+                cols_out = [(wire(c), c.validity) for c in batch.cols]
             else:
                 gather_idx, count = filter_ops.compaction_indices(rv)
                 cols_out = []
                 for c in batch.cols:
-                    d = c.data[gather_idx]
+                    d = wire(c)[gather_idx]
                     v = None if c.validity is None else c.validity[gather_idx]
                     cols_out.append((d, v))
             return {"cols": cols_out, "count": count,
@@ -1409,8 +1417,30 @@ class _Interpreter:
             self._push_flag(cap_key, overflow)
 
         cols = self._group_key_cols(group_codes, key_meta, packed_spec)
+        i32max = (1 << 31) - 8
         for (data, valid), a, spec in zip(results, plan.aggs, specs):
-            cols.append(DevCol(data, valid, spec.get("dictionary")))
+            # provable-int32 result ranges let the host boundary transfer a
+            # narrow wire format (the relay link runs at tens of MB/s —
+            # VERDICT r4 #3: the 4M-group result download dominated e2e):
+            # COUNT <= capacity; MIN/MAX stay within the argument's zone-map
+            # range; SUM when capacity * max|v| provably fits
+            ok32, rng32 = False, None
+            if a.func == "count":
+                ok32, rng32 = True, (0, batch.capacity)
+            elif a.func in ("min", "max", "sum") and a.arg is not None \
+                    and a.out_dtype.numpy_dtype == np.dtype(np.int64):
+                vrange = self._expr_range(a.arg, batch)
+                if vrange is not None:
+                    lo, hi = int(vrange[0]), int(vrange[1])
+                    if a.func in ("min", "max"):
+                        ok32 = -i32max < lo and hi < i32max
+                        rng32 = (lo, hi)
+                    else:
+                        bound = batch.capacity * max(abs(lo), abs(hi))
+                        ok32 = bound < i32max
+                        rng32 = (-bound, bound)
+            cols.append(DevCol(data, valid, spec.get("dictionary"),
+                               int32_ok=ok32, value_range=rng32))
 
         out_cap = max_groups if plan.group_exprs else 1
         if plan.group_exprs:

@@ -136,6 +136,44 @@ def main():
           f"({gbs_n/HBM_GBPS*100:5.1f}% roofline)  [DMA ceiling probe]",
           flush=True)
 
+    # ---- 2-column fused shape (VERDICT r4 #9): filter stream + two
+    # distinct value streams per pass; the predicate/mask VPU chain is paid
+    # once and amortized over 12 B/row of traffic
+    @jax.jit
+    def gen2():
+        k2 = jax.random.PRNGKey(7)
+        a = jax.random.randint(k2, (n,), -1000, 1000, dtype=jnp.int32)
+        b = jax.random.randint(jax.random.PRNGKey(8), (n,), -1000, 1000,
+                               dtype=jnp.int32)
+        return a, b
+
+    a_col, b_col = jax.block_until_ready(gen2())
+
+    @jax.jit
+    def pallas_2col_chain(h, a, b):
+        def body(i, acc):
+            cnt, ((sa, _a, _b), (sb, _c, _d)) = filter_agg_i32(
+                h, "gt", np.int32(500) + i, (a, b), 2, False, n,
+                ((True, False, True), (True, False, True)))
+            return acc + cnt + sa + sb
+        return jax.lax.fori_loop(0, np.int32(K), body, jnp.int64(0))
+
+    t_2c = timeit(pallas_2col_chain, v, a_col, b_col, iters=args.iters) / K
+    gbs_2c = 3 * n * 4 / t_2c / 1e9
+    print(f"pallas_2col {t_2c*1e3:4.2f} ms  {gbs_2c:7.1f} GB/s "
+          f"({gbs_2c/HBM_GBPS*100:5.1f}% roofline)  [3 streams, 12 B/row]",
+          flush=True)
+
+    # 2-col parity vs XLA on the same data
+    m = v > 500
+    exp_sa = int(jnp.sum(jnp.where(m, a_col.astype(jnp.int64), 0)))
+    exp_sb = int(jnp.sum(jnp.where(m, b_col.astype(jnp.int64), 0)))
+    cnt2, ((sa2, _, _), (sb2, _, _)) = filter_agg_i32(
+        v, "gt", 500, (a_col, b_col), 2, False, n,
+        ((True, False, True), (True, False, True)))
+    ok2 = int(sa2) == exp_sa and int(sb2) == exp_sb
+    print(f"2col parity={ok2}", flush=True)
+
     def xla_path(v):
         mask = v > 500
         cnt = jnp.sum(mask.astype(jnp.int64))
@@ -163,7 +201,11 @@ def main():
         "xla_roofline": round(gbs_x / HBM_GBPS, 3),
         "pallas_roofline": round(gbs_p / HBM_GBPS, 3),
         "pallas_cs_roofline": round(gbs_c / HBM_GBPS, 3),
+        "pallas_2col_ms": round(t_2c * 1e3, 2),
+        "pallas_2col_roofline": round(gbs_2c / HBM_GBPS, 3),
+        "pallas_cnt_roofline": round(gbs_n / HBM_GBPS, 3),
         "parity": bool(ok),
+        "parity_2col": bool(ok2),
     }), flush=True)
 
 
