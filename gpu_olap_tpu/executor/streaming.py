@@ -378,8 +378,11 @@ class StreamingAggregator:
         for f, (ok, _rng) in zip(pipe.scan.schema, narrow):
             dt = jnp.int32 if ok else f.dtype.numpy_dtype
             zero_chunk.append(jnp.zeros(chunk_rows, dt))
+        logger.info("hash-state: compiling streamed step (chunk_rows=%d "
+                    "part_cap=%d parts=%d) ...", chunk_rows, part_cap, n_parts)
         states[0], (_, wg) = step(states[0], (), *zero_chunk)
         jax.block_until_ready(wg)
+        logger.info("hash-state: streamed step ready")
 
         staged = collections.deque()    # (part, bufs) per in-flight sub-chunk
         schema = pipe.scan.schema
