@@ -239,17 +239,19 @@ def bench_groupby_1b(n_rows: int, n_groups: int, iters: int):
             writer.write_table(t)
         writer.close()
     eng = _engine(1 << 26)
-    # 8M-row streamed chunks: amortize the ~30 ms relay dispatch floor and
-    # the per-chunk partial-aggregation program over 128 MB uploads.
+    # 2M-row streamed chunks with 512K-group state partitions: the shape
+    # PROVEN to compile through the remote relay in ~6 min (round 5 —
+    # chunk 8M with a 1M-group state "compiles" for 35+ min, presenting as
+    # the round-4 hang; program size, not state size alone, drives it).
     # Feed depth 2: deep in-flight upload windows (8) wedged the relay on
     # the first 1B attempt (child alive, zero CPU, no progress for 30 min)
     eng.config.batch_size = int(os.environ.get(
-        "GPU_OLAP_1B_BATCH", min(1 << 23, max(n_rows // 8, 1 << 20))))
+        "GPU_OLAP_1B_BATCH", min(1 << 21, max(n_rows // 8, 1 << 20))))
     eng.config.num_feed_buffers = int(os.environ.get("GPU_OLAP_1B_FEED", 2))
     # per-partition streamed-state threshold (states above HALF this size
     # hash-split; see executor/streaming.py) — env-tunable for TPU triage
     eng.config.stream_state_partition_groups = int(os.environ.get(
-        "GPU_OLAP_1B_PART", eng.config.stream_state_partition_groups))
+        "GPU_OLAP_1B_PART", 1 << 20))
     # always exercise the out-of-core streamed path, even at --quick sizes
     eng.catalog._cache_threshold = min(eng.catalog.cache_threshold,
                                        max(n_rows // 4, 1))

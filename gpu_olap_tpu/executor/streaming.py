@@ -180,7 +180,7 @@ class StreamingAggregator:
         pipe = match_streamable(plan, self.catalog)
         agg = pipe.aggregate
         chunk_rows = self.config.batch_size
-        partials = _partial_layout(agg)
+        partials = self._stream_partials(pipe)
         self.last_partitioned = pipe.partitioned
 
         max_groups = min(self.config.max_groups, 1 << 22)
@@ -203,13 +203,15 @@ class StreamingAggregator:
             join_capacity = max(join_capacity, _dup_capacity(
                 chunk_rows, build.get("avg_dup", 1.0)))
 
+        key_narrow = self._key_narrow(pipe)
         for attempt in range(5):
-            state = _init_state(agg.group_exprs, partials, max_groups)
+            state = _init_state(agg.group_exprs, partials, max_groups,
+                                key_narrow)
             state, (j_ovf, g_ovf) = self._stream_part(
                 pipe, build, chunk_rows, max_groups, join_capacity, partials,
                 state, self._probe_chunks(pipe, chunk_rows))
             if not (j_ovf or g_ovf):
-                return self._finalize(agg, state, max_groups)
+                return self._finalize(agg, state, max_groups, partials)
             # grow ONLY the overflowing capacity: inflating max_groups on a
             # join overflow recompiles every step against 4x group buffers
             if j_ovf:
@@ -220,6 +222,31 @@ class StreamingAggregator:
                            "retrying with join_capacity=%d max_groups=%d",
                            j_ovf, g_ovf, join_capacity, max_groups)
         raise RuntimeError("streaming capacities kept overflowing")
+
+    def _stream_partials(self, pipe):
+        """Partial layout, with emulated-s64-avoiding dtype narrowing for
+        the scan-only pipelines where zone maps prove it (see
+        _partial_layout)."""
+        agg = pipe.aggregate
+        if pipe.join is not None or \
+                any(isinstance(op, P.TpuProjection) for op in pipe.middle):
+            return _partial_layout(agg)
+        narrow = self._narrow_flags(pipe)
+        ranges = {i: r for i, (ok, r) in enumerate(narrow) if r is not None}
+        total = self.catalog.get_row_count(pipe.scan.table_name)
+        return _partial_layout(agg, ranges, total)
+
+    def _key_narrow(self, pipe):
+        """Per-group-expr: key-code lanes stay int32 (chunk cols upload as
+        int32 and the state lane matches) — no s64 sort operands."""
+        if pipe.join is not None or \
+                any(isinstance(op, P.TpuProjection) for op in pipe.middle):
+            return None
+        narrow = self._narrow_flags(pipe)
+        return tuple(
+            isinstance(g, P.ColumnRef) and g.index < len(narrow)
+            and narrow[g.index][0]
+            for g in pipe.aggregate.group_exprs)
 
     def _probe_cols(self, pipe) -> List[str]:
         table_schema = self.catalog.get_schema(pipe.scan.table_name)
@@ -300,7 +327,7 @@ class StreamingAggregator:
             logger.info("partitioned join: %d/%d partition pairs joined",
                         n_parts, k)
             if not (j_ovf or g_ovf):
-                return self._finalize(agg, state, max_groups)
+                return self._finalize(agg, state, max_groups, partials)
             if j_ovf:
                 join_capacity = used_cap * 4
             if g_ovf:
@@ -349,7 +376,8 @@ class StreamingAggregator:
             n_parts = 1
             while (max_groups + n_parts - 1) // n_parts > (part_cap >> 1):
                 n_parts <<= 1
-            states = [_init_state(agg.group_exprs, partials, part_cap)
+            states = [_init_state(agg.group_exprs, partials, part_cap,
+                                  self._key_narrow(pipe))
                       for _ in range(n_parts)]
             states, g_ovf = self._stream_hash_state(
                 pipe, chunk_rows, part_cap, n_parts, partials, states,
@@ -357,7 +385,8 @@ class StreamingAggregator:
             if not g_ovf:
                 self.last_hash_parts = n_parts
                 return _concat_batches(
-                    [self._finalize(agg, st, part_cap) for st in states],
+                    [self._finalize(agg, st, part_cap, partials)
+                     for st in states],
                     agg.schema)
             max_groups = min(max_groups * 4, 1 << 26)
             logger.warning("hash-state pass overflowed; retrying with "
@@ -689,6 +718,7 @@ class StreamingAggregator:
         sk_dtype = build["sk"].dtype if build is not None else None
 
         narrow = self._narrow_flags(pipe)
+        key_narrow = self._key_narrow(pipe)
 
         def step(state, build_args, valid_rows, *arrays):
             cols = [DevCol(a, None, None, int32_ok=ok, value_range=rng)
@@ -734,9 +764,15 @@ class StreamingAggregator:
             rows = batch.capacity
             # chunk keys/values + state keys/values -> one grouped pass
             chunk_keys = []
-            for g in agg.group_exprs:
+            for ki, g in enumerate(agg.group_exprs):
                 d, v, _ = interp.eval_expr(g, batch)
-                chunk_keys.append(key_code(d, v, _np_kind(g.dtype)))
+                if key_narrow is not None and key_narrow[ki]:
+                    # int32 upload dtype IS the key code: the merged sort
+                    # stays out of emulated-s64 space (round 5)
+                    null = (jnp.zeros(d.shape, bool) if v is None else ~v)
+                    chunk_keys.append((d, null))
+                else:
+                    chunk_keys.append(key_code(d, v, _np_kind(g.dtype)))
 
             state_keys, state_partials, state_valid = state
             keys = [
@@ -760,7 +796,7 @@ class StreamingAggregator:
                         cv = jnp.where(
                             (jnp.ones(rows, bool) if valid is None else valid)
                             if data is not None else jnp.ones(rows, bool),
-                            1, 0).astype(jnp.int64)
+                            1, 0).astype(pdtype)
                         cvalid = None
                     else:
                         cv = data.astype(pdtype)
@@ -801,7 +837,8 @@ class StreamingAggregator:
         return jax.jit(step, donate_argnums=donate)
 
     # ------------------------------------------------------------------
-    def _finalize(self, agg: P.TpuAggregate, state, max_groups: int) -> ColumnBatch:
+    def _finalize(self, agg: P.TpuAggregate, state, max_groups: int,
+                  partials=None) -> ColumnBatch:
         from .device import _decode_key
 
         state_keys, state_partials, state_valid = state
@@ -811,14 +848,30 @@ class StreamingAggregator:
             valid = np.ones_like(valid)
         idx = np.nonzero(valid)[0]
 
+        # valid groups form a PREFIX of the state (groupby_aggregate output
+        # ordering) — slice ON DEVICE and download only n_groups rows per
+        # lane, not part_cap (the full-state download cost minutes at the
+        # 1B shape); the general path stays for non-prefix masks
+        if idx.size and idx[-1] == idx.size - 1:
+            n = int(idx.size)
+            state_keys = [(jnp.asarray(c)[:n], jnp.asarray(u)[:n])
+                          for c, u in state_keys]
+            state_partials = [jnp.asarray(p)[:n] for p in state_partials]
+            idx = np.arange(n)
+
         cols: List[Column] = []
         for (code, null), g in zip(state_keys, agg.group_exprs):
             dc = _decode_key(jnp.asarray(code), jnp.asarray(null), g.dtype, None)
-            cols.append(Column(np.asarray(dc.data)[idx],
+            data = np.asarray(dc.data)[idx]
+            if data.dtype == np.int32 and \
+                    g.dtype.numpy_dtype == np.dtype(np.int64):
+                data = data.astype(np.int64)  # narrowed key lane widens here
+            cols.append(Column(data,
                                np.asarray(dc.validity)[idx]
                                if dc.validity is not None else None))
 
-        partials = _partial_layout(agg)
+        if partials is None:
+            partials = _partial_layout(agg)
         p_i = 0
         for spec_group, a in zip(partials, agg.aggs):
             vals = {}
@@ -872,29 +925,79 @@ def _dup_capacity(chunk_rows: int, avg_dup: float) -> int:
     return 1 << (est - 1).bit_length()
 
 
-def _partial_layout(agg: P.TpuAggregate):
-    """Per output aggregate, the mergeable partial columns it needs."""
+def _partial_layout(agg: P.TpuAggregate, ranges=None, total_rows=None):
+    """Per output aggregate, the mergeable partial columns it needs.
+
+    ``ranges``: optional per-scan-column (lo, hi) zone-map bounds (narrow
+    flags) and ``total_rows`` the table row count — when provided, partial
+    dtypes narrow OUT of emulated-int64 space (round 5: the TPU X64-rewrite
+    makes s64 sort/cumsum lanes both slow and compile-fragile):
+      * COUNT partials are float64 always (exact to 2^53 rows);
+      * int SUM partials go float64 when total_rows * max|v| < 2^52
+        (provably exact — same rule as the in-memory sum_f64_ok path);
+      * int MIN/MAX partials go int32 when the argument's bound fits."""
+    def arg_range(a):
+        if ranges is None or not isinstance(a.arg, P.ColumnRef):
+            return None
+        return ranges.get(a.arg.index)
+
+    i32max = (1 << 31) - 8
     out = []
     for a in agg.aggs:
+        cnt_dt = np.float64 if ranges is not None else np.int64
         if a.func == "count":
-            out.append([("count", "count", np.int64)])
+            out.append([("count", "count", cnt_dt)])
         elif a.func == "avg":
-            out.append([("sum", "sum", np.float64), ("count", "count", np.int64)])
+            out.append([("sum", "sum", np.float64), ("count", "count", cnt_dt)])
         elif a.func == "sum":
-            out.append([("sum", "sum", a.out_dtype.numpy_dtype),
-                        ("count", "count", np.int64)])
+            sum_dt = a.out_dtype.numpy_dtype
+            r = arg_range(a)
+            if (np.dtype(sum_dt) == np.dtype(np.int64) and r is not None
+                    and total_rows is not None
+                    and total_rows * max(abs(int(r[0])),
+                                         abs(int(r[1]))) < (1 << 52)):
+                sum_dt = np.float64
+            lanes = [("sum", "sum", sum_dt)]
+            if not _nullfree_arg(a, ranges):
+                lanes.append(("count", "count", cnt_dt))
+            out.append(lanes)
         elif a.func in ("min", "max"):
-            out.append([(a.func, a.func, a.out_dtype.numpy_dtype),
-                        ("count", "count", np.int64)])
+            mm_dt = a.out_dtype.numpy_dtype
+            r = arg_range(a)
+            if (np.dtype(mm_dt) == np.dtype(np.int64) and r is not None
+                    and -i32max < int(r[0]) and int(r[1]) < i32max):
+                mm_dt = np.int32
+            lanes = [(a.func, a.func, mm_dt)]
+            if not _nullfree_arg(a, ranges):
+                lanes.append(("count", "count", cnt_dt))
+            out.append(lanes)
         else:
             raise NotStreamable(a.func)
     return out
 
 
+def _nullfree_arg(a, ranges) -> bool:
+    """SUM/MIN/MAX over a PLAIN scan column in a streamed scan-only pipeline
+    (``ranges is not None``) needs no count lane: staged chunk columns carry
+    no validity, so every group has >= 1 value (per-group 'has' is
+    statically true) — at the 1B shape the three duplicate count lanes were
+    a third of the finalize download."""
+    return ranges is not None and isinstance(a.arg, P.ColumnRef)
+
+
 def _finalize_agg(a: P.AggSpec, vals) -> Column:
+    """Partials may be carried in narrowed dtypes (f64 counts/sums proven
+    exact, int32 min/max) — cast back to the logical output dtype here."""
+    out_np = a.out_dtype.numpy_dtype
     if a.func == "count":
-        return Column(vals["count"])
-    cnt = vals["count"]
+        return Column(vals["count"].astype(np.int64))
+    cnt = vals.get("count")
+    if cnt is None:
+        # null-free plain-column argument: every group has a value
+        data = vals["sum" if a.func == "sum" else a.func]
+        if data.dtype != out_np:
+            data = data.astype(out_np)
+        return Column(data)
     has = cnt > 0
     if a.func == "avg":
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -902,15 +1005,24 @@ def _finalize_agg(a: P.AggSpec, vals) -> Column:
         return Column(np.where(has, avg, 0.0), None if has.all() else has)
     key = "sum" if a.func == "sum" else a.func
     data = vals[key]
+    if data.dtype != out_np:
+        data = data.astype(out_np)
     return Column(data, None if has.all() else has)
 
 
-def _init_state(group_exprs, partials, max_groups: int):
+def _init_state(group_exprs, partials, max_groups: int, key_narrow=None):
+    """``key_narrow``: per-group-expr flag — int32 key-code state lanes for
+    zone-map-narrowed integer keys keep the streamed step's merged sort out
+    of emulated-s64 space (round 5)."""
     if group_exprs:
         keys = []
-        for g in group_exprs:
+        for i, g in enumerate(group_exprs):
             if g.dtype is DType.FLOAT64:
                 keys.append((jnp.full(max_groups, -jnp.inf, dtype=jnp.float64),
+                             jnp.zeros(max_groups, dtype=bool)))
+            elif key_narrow is not None and key_narrow[i]:
+                keys.append((jnp.full(max_groups, np.iinfo(np.int32).min,
+                                      dtype=jnp.int32),
                              jnp.zeros(max_groups, dtype=bool)))
             else:
                 keys.append((jnp.full(max_groups, INT64_MIN, dtype=jnp.int64),
@@ -925,9 +1037,11 @@ def _init_state(group_exprs, partials, max_groups: int):
     for spec_group in partials:
         for pname, pfunc, pdtype in spec_group:
             if pfunc == "min":
-                fill = np.inf if np.dtype(pdtype).kind == "f" else INT64_MAX
+                fill = (np.inf if np.dtype(pdtype).kind == "f"
+                        else np.iinfo(np.dtype(pdtype)).max)
             elif pfunc == "max":
-                fill = -np.inf if np.dtype(pdtype).kind == "f" else INT64_MIN
+                fill = (-np.inf if np.dtype(pdtype).kind == "f"
+                        else np.iinfo(np.dtype(pdtype)).min)
             else:
                 fill = 0
             state_partials.append(jnp.full(rows, fill, dtype=pdtype))
