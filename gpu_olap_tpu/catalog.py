@@ -76,7 +76,8 @@ class Catalog:
                 raw = {}
             int64_cols = {f.name for f in schema
                           if f.dtype.numpy_dtype == np.dtype(np.int64)}
-            stats = {k: v for k, v in raw.items() if k in int64_cols} or None
+            stats = {k: v for k, v in raw.items()
+                     if k in int64_cols or k == "__nulls__"} or None
         with self._lock:
             self._tables[name] = TableMetadata(schema, path, row_count, cache,
                                                stats)

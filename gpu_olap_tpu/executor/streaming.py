@@ -56,6 +56,26 @@ class _StreamablePipeline:
     partitioned: bool = False
 
 
+def _reject_known_nulls(catalog, scan: P.TpuTableScan) -> None:
+    """Streamed chunk staging uploads DATA lanes only (no validity), so a
+    scanned column with metadata-recorded nulls cannot stream correctly —
+    fall back to the full-load device path, which carries validity masks
+    end-to-end (round-5 guard for a latent round-2 gap).  Unknown null
+    counts (writer recorded none) stream as before."""
+    stats = catalog.get_stats(scan.table_name) or {}
+    nulls = stats.get("__nulls__")
+    if not isinstance(nulls, dict):
+        return
+    sch = catalog.get_schema(scan.table_name)
+    idxs = (scan.projection if scan.projection is not None
+            else range(len(sch)))
+    for i in idxs:
+        nm = sch.field(i).name
+        nc = nulls.get(nm)
+        if nc is not None and nc > 0:
+            raise NotStreamable(f"nulls in streamed column {nm!r}")
+
+
 def _strip_middle(node: P.PhysicalPlan):
     middle: List[P.PhysicalPlan] = []
     while isinstance(node, (P.TpuFilter, P.TpuProjection)):
@@ -95,6 +115,7 @@ def match_streamable(plan: P.PhysicalPlan, catalog) -> _StreamablePipeline:
         raise NotStreamable("COUNT(DISTINCT) is not mergeable across chunks")
     middle, node = _strip_middle(plan.input)
     if isinstance(node, P.TpuTableScan):
+        _reject_known_nulls(catalog, node)
         return _StreamablePipeline(node, middle, plan)
     if isinstance(node, P.TpuHashJoin):
         join = node
@@ -115,6 +136,7 @@ def match_streamable(plan: P.PhysicalPlan, catalog) -> _StreamablePipeline:
         if catalog.is_cached(build_leaf.table_name):
             if catalog.is_cached(probe_leaf.table_name):
                 raise NotStreamable("probe side is cached (not streamed)")
+            _reject_known_nulls(catalog, probe_leaf)
             return _StreamablePipeline(probe_leaf, probe_middle, plan,
                                        join=join, agg_middle=middle,
                                        build_plan=join.right)
@@ -134,6 +156,7 @@ def match_streamable(plan: P.PhysicalPlan, catalog) -> _StreamablePipeline:
                     else range(len(sch)))
             if any(sch.field(i).dtype is DType.STRING for i in idxs):
                 raise NotStreamable("string columns in partitioned join")
+        _reject_known_nulls(catalog, probe_leaf)
         return _StreamablePipeline(probe_leaf, probe_middle, plan,
                                    join=join, agg_middle=middle,
                                    build_plan=join.right, partitioned=True)

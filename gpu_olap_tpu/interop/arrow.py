@@ -180,12 +180,16 @@ def parquet_column_stats(path: str) -> dict:
     mins = [None] * ncols
     maxs = [None] * ncols
     bad = [False] * ncols
+    nulls = [0] * ncols          # None = unknown in any row group
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for i in range(ncols):
+            st = row_group.column(i).statistics
+            if nulls[i] is not None:
+                nc = None if st is None else st.null_count
+                nulls[i] = None if nc is None else nulls[i] + int(nc)
             if bad[i]:
                 continue
-            st = row_group.column(i).statistics
             if st is None or not st.has_min_max \
                     or not isinstance(st.min, (int,)) \
                     or not isinstance(st.max, (int,)) \
@@ -194,9 +198,14 @@ def parquet_column_stats(path: str) -> dict:
                 continue
             mins[i] = st.min if mins[i] is None else min(mins[i], st.min)
             maxs[i] = st.max if maxs[i] is None else max(maxs[i], st.max)
-    return {names[i]: (int(mins[i]), int(maxs[i]))
-            for i in range(ncols)
-            if not bad[i] and mins[i] is not None}
+    out = {names[i]: (int(mins[i]), int(maxs[i]))
+           for i in range(ncols)
+           if not bad[i] and mins[i] is not None}
+    # per-column metadata null counts (None = writer did not record them):
+    # the streaming matcher rejects columns with KNOWN nulls — staged chunk
+    # uploads carry data lanes only, so nulls cannot ride the streamed path
+    out["__nulls__"] = {names[i]: nulls[i] for i in range(ncols)}
+    return out
 
 
 def read_parquet(path: str, columns=None) -> ColumnBatch:

@@ -245,6 +245,34 @@ def test_hash_state_overflow_retries(big_parquet):
     assert got.s.tolist() == exp.s.tolist()
 
 
+def test_streamed_nulls_fall_back_exact(tmp_path):
+    """Parquet columns with metadata-recorded nulls must NOT stream (staged
+    chunks carry no validity lanes — round-5 guard for a latent round-2
+    gap): the full-load device path runs instead and aggregates skip nulls
+    exactly like the oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(13)
+    n = 20_000
+    v = rng.normal(10.0, 3.0, n)
+    v[rng.random(n) < 0.25] = np.nan
+    path = str(tmp_path / "nulls.parquet")
+    pq.write_table(pa.table({
+        "k": rng.integers(0, 50, n).astype(np.int64),
+        "v": pa.array(v, mask=np.isnan(v)),
+    }), path)
+    sql = "SELECT k, COUNT(v) AS c, AVG(v) AS a FROM big GROUP BY k"
+    eng = _streaming_engine(path)
+    res = eng.query(sql)
+    assert res.meta["backend"] == "device"  # fell back, not streamed
+    exp = _oracle_engine(path).query(sql)
+    got = res.to_pandas().sort_values("k").reset_index(drop=True)
+    e = exp.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got.c.tolist() == e.c.tolist()
+    np.testing.assert_allclose(got.a.to_numpy(), e.a.to_numpy(), rtol=1e-9)
+
+
 def test_hash_state_with_filter(big_parquet):
     """Filters between scan and aggregate are row-local: the hash split on
     unfiltered rows stays correct."""
