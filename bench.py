@@ -273,6 +273,13 @@ def bench_groupby_1b(n_rows: int, n_groups: int, iters: int):
         out["hash_state_parts"] = sa.last_hash_parts
         out["stream_chunks"] = sa.last_stream_chunks
         out["h2d_bytes"] = sa.last_link_bytes
+        out["compile_seconds"] = getattr(sa, "last_compile_seconds", None)
+        out["stream_seconds"] = getattr(sa, "last_stream_seconds", None)
+        if getattr(sa, "last_stream_seconds", 0):
+            # the streaming window rate: host parquet read + hash split +
+            # link upload + device steps, compile and result pull excluded
+            out["rows_per_sec_stream"] = round(
+                n_rows / sa.last_stream_seconds, 1)
         if sa.last_link_bytes:
             out["h2d_gbps_effective"] = round(
                 sa.last_link_bytes / best / 1e9, 3)

@@ -185,6 +185,8 @@ class StreamingAggregator:
         self.last_hash_parts = 1
         self.last_stream_chunks = 0
         self.last_link_bytes = 0
+        self.last_compile_seconds = 0.0
+        self.last_stream_seconds = 0.0
 
     def execute(self, plan: P.PhysicalPlan) -> ColumnBatch:
         agg_root, has_above = split_above_aggregate(plan)
@@ -234,6 +236,7 @@ class StreamingAggregator:
                 pipe, build, chunk_rows, max_groups, join_capacity, partials,
                 state, self._probe_chunks(pipe, chunk_rows))
             if not (j_ovf or g_ovf):
+                state, = _fetch_prefix_states([state])
                 return self._finalize(agg, state, max_groups, partials)
             # grow ONLY the overflowing capacity: inflating max_groups on a
             # join overflow recompiles every step against 4x group buffers
@@ -350,6 +353,7 @@ class StreamingAggregator:
             logger.info("partitioned join: %d/%d partition pairs joined",
                         n_parts, k)
             if not (j_ovf or g_ovf):
+                state, = _fetch_prefix_states([state])
                 return self._finalize(agg, state, max_groups, partials)
             if j_ovf:
                 join_capacity = used_cap * 4
@@ -407,6 +411,7 @@ class StreamingAggregator:
                 key_pos)
             if not g_ovf:
                 self.last_hash_parts = n_parts
+                states = _fetch_prefix_states(states)
                 return _concat_batches(
                     [self._finalize(agg, st, part_cap, partials)
                      for st in states],
@@ -420,6 +425,9 @@ class StreamingAggregator:
                            partials, states, key_pos):
         from .spill import spill_hash
 
+        import time as _time
+
+        t_start = _time.perf_counter()
         step = self._get_step(pipe, chunk_rows, part_cap, partials, None, 0)
         narrow = self._narrow_flags(pipe)
         overflow_g = jnp.asarray(False)
@@ -435,6 +443,7 @@ class StreamingAggregator:
         states[0], (_, wg) = step(states[0], (), *zero_chunk)
         jax.block_until_ready(wg)
         logger.info("hash-state: streamed step ready")
+        t_compiled = _time.perf_counter()
 
         staged = collections.deque()    # (part, bufs) per in-flight sub-chunk
         schema = pipe.scan.schema
@@ -531,6 +540,8 @@ class StreamingAggregator:
         self.last_link_bytes = n_chunks * sum(
             chunk_rows * np.dtype(_col_dtype(i)).itemsize
             for i in range(len(schema)))
+        self.last_compile_seconds = round(t_compiled - t_start, 3)
+        self.last_stream_seconds = round(_time.perf_counter() - t_compiled, 3)
         return states, bool(np.asarray(overflow_g))
 
     def _stream_part(self, pipe, build, chunk_rows, max_groups,
@@ -862,8 +873,6 @@ class StreamingAggregator:
     # ------------------------------------------------------------------
     def _finalize(self, agg: P.TpuAggregate, state, max_groups: int,
                   partials=None) -> ColumnBatch:
-        from .device import _decode_key
-
         state_keys, state_partials, state_valid = state
         valid = np.asarray(state_valid)
         if not agg.group_exprs and not valid.any():
@@ -872,26 +881,26 @@ class StreamingAggregator:
         idx = np.nonzero(valid)[0]
 
         # valid groups form a PREFIX of the state (groupby_aggregate output
-        # ordering) — slice ON DEVICE and download only n_groups rows per
-        # lane, not part_cap (the full-state download cost minutes at the
-        # 1B shape); the general path stays for non-prefix masks
+        # ordering) — slice before download so only n_groups rows per lane
+        # move over the link, not part_cap (the full-state download cost
+        # minutes at the 1B shape); works on device lanes and on host lanes
+        # already pulled by _fetch_prefix_states
         if idx.size and idx[-1] == idx.size - 1:
             n = int(idx.size)
-            state_keys = [(jnp.asarray(c)[:n], jnp.asarray(u)[:n])
-                          for c, u in state_keys]
-            state_partials = [jnp.asarray(p)[:n] for p in state_partials]
+            state_keys = [(c[:n], u[:n]) for c, u in state_keys]
+            state_partials = [p[:n] for p in state_partials]
             idx = np.arange(n)
 
         cols: List[Column] = []
         for (code, null), g in zip(state_keys, agg.group_exprs):
-            dc = _decode_key(jnp.asarray(code), jnp.asarray(null), g.dtype, None)
-            data = np.asarray(dc.data)[idx]
+            data = np.asarray(code)[idx]
+            null_h = np.asarray(null)[idx]
+            if g.dtype is DType.BOOL:
+                data = data.astype(bool)
             if data.dtype == np.int32 and \
                     g.dtype.numpy_dtype == np.dtype(np.int64):
                 data = data.astype(np.int64)  # narrowed key lane widens here
-            cols.append(Column(data,
-                               np.asarray(dc.validity)[idx]
-                               if dc.validity is not None else None))
+            cols.append(Column(data, ~null_h if null_h.any() else None))
 
         if partials is None:
             partials = _partial_layout(agg)
@@ -903,6 +912,38 @@ class StreamingAggregator:
                 p_i += 1
             cols.append(_finalize_agg(a, vals))
         return ColumnBatch(agg.schema, cols, len(idx))
+
+
+def _fetch_prefix_states(states):
+    """Pull all partitions' valid-prefix state lanes to the host in TWO
+    device round trips total (valid lanes, then every sliced lane): per-lane
+    np.asarray paid ~0.5 s of relay latency each — 80 round trips cost ~50 s
+    of the 100M rehearsal's finalize (round 5)."""
+    valids = jax.device_get([st[2] for st in states])
+    ns = []
+    fetch = []
+    for st, v in zip(states, valids):
+        v = np.asarray(v)
+        idx = np.nonzero(v)[0]
+        n = int(idx.size)
+        if not st[0]:
+            n = v.shape[0]  # global aggregate: keep the 1-row state whole
+        elif not (n == 0 or idx[-1] == n - 1):
+            return states  # non-prefix mask: let _finalize do it lane-wise
+        ns.append(n)
+        for c, u in st[0]:
+            fetch.append(c[:n])
+            fetch.append(u[:n])
+        for p in st[1]:
+            fetch.append(p[:n])
+    fetched = iter(jax.device_get(fetch))
+    out = []
+    for st, v, n in zip(states, valids, ns):
+        keys = [(next(fetched), next(fetched)) for _ in st[0]]
+        parts_ = [next(fetched) for _ in st[1]]
+        valid = np.asarray(v)[:n] if not st[0] else np.ones(n, dtype=bool)
+        out.append((keys, parts_, valid))
+    return out
 
 
 def _concat_batches(batches: List[ColumnBatch], schema) -> ColumnBatch:
