@@ -65,11 +65,25 @@ def test_distributed_matches_oracle(engines, sql):
                                           err_msg=f"{sql} :: {col}")
 
 
+def test_distributed_topk(engines):
+    """ORDER BY ... LIMIT distributes as per-device local top-k + exact host
+    replay over the gathered candidates (round 5 — was a host fallback)."""
+    dist, cpu = engines
+    for sql in ("SELECT v FROM t ORDER BY v DESC LIMIT 3",
+                "SELECT k, v FROM t WHERE v > 100 ORDER BY v ASC, k DESC "
+                "LIMIT 7",
+                "SELECT f FROM t ORDER BY f DESC LIMIT 5 OFFSET 2"):
+        r = dist.query(sql)
+        assert r.metrics["backend"] == "distributed", sql
+        e = cpu.query(sql)
+        assert r.to_pandas().values.tolist() == e.to_pandas().values.tolist(), sql
+
+
 def test_non_distributable_falls_back(engines):
     dist, _ = engines
-    r = dist.query("SELECT v FROM t ORDER BY v DESC LIMIT 3")
-    assert r.metrics["backend"] == "device"  # raw rows, not an agg pipeline
-    assert r.num_rows == 3
+    # full ORDER BY without LIMIT would ship every row: host path
+    r = dist.query("SELECT v FROM t ORDER BY v DESC")
+    assert r.metrics["backend"] == "device"
 
 
 def test_distributed_scaling_structure(engines):
