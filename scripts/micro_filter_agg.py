@@ -11,11 +11,15 @@ Run on the real TPU: python scripts/micro_filter_agg.py [--rows N]
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
 
-import jax
+sys.path.insert(0, "/root/repo")
+from gpu_olap_tpu.utils.jaxenv import ensure_jax  # persistent compile cache
+
+jax = ensure_jax()
 import jax.numpy as jnp
 
 
