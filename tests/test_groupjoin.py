@@ -71,6 +71,29 @@ def test_groupjoin_avoids_match_buffer(engines):
     assert not ex._cap_override, f"unexpected capacity growth: {ex._cap_override}"
 
 
+def test_sorted_space_global_join_agg(engines):
+    """Key-derived global aggregates reduce in merge-sorted key space
+    (round 5): the path must engage (counter) and match the oracle,
+    including the equi-key substituted SUM(l.k + r.k)."""
+    from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
+
+    dev, cpu = engines
+    for sql in (
+        "SELECT COUNT(*) AS n, SUM(l.k + r.k) AS s FROM l JOIN r ON l.k = r.k",
+        "SELECT MIN(l.k) AS mn, MAX(r.k) AS mx, AVG(l.k) AS a "
+        "FROM l JOIN r ON l.k = r.k",
+    ):
+        before = GLOBAL_METRICS.counters.get("sorted_global_join_agg", 0)
+        d = dev.query(sql).to_pydict()
+        assert GLOBAL_METRICS.counters.get(
+            "sorted_global_join_agg", 0) > before, f"path not taken: {sql}"
+        c = cpu.query(sql).to_pydict()
+        for k in d:
+            np.testing.assert_allclose(
+                np.asarray(d[k], dtype=np.float64),
+                np.asarray(c[k], dtype=np.float64), rtol=1e-12, err_msg=sql)
+
+
 def test_groupjoin_ineligible_falls_back(engines):
     """Mixed-side aggregate arguments need the real pair expansion."""
     dev, cpu = engines
