@@ -33,9 +33,10 @@ from gpu_olap_tpu.ops.pallas.routing import (  # noqa: E402
     LANES, _c, _cumsum_flat, _pos_iota, route_left)
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 27  # 134M rows
-BLOCK_ROWS = 2048            # sublane rows per grid step: 256K slots
+BLOCK_ROWS = 1024            # sublane rows per grid step: 128K slots
+# (2048-row blocks put 19.2 MB on the scoped-VMEM stack, over the 16 MB cap)
 SLOTS = BLOCK_ROWS * LANES
-STAGES = 18                  # log2(256K) butterfly stages
+STAGES = 17                  # log2(128K) butterfly stages
 BIT = 7
 
 interpret = jax.default_backend() != "tpu"
@@ -60,7 +61,9 @@ def make_kernel(do_route: bool, do_cumsum: bool):
         vo_ref[...] = v
 
     grid = (N // SLOTS,)
-    spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, 0))
+    # np.int32 literal: a bare 0 traces as weak i64 under x64 and Mosaic
+    # fails to legalize the index-map's (i32, i64) return (CLAUDE.md rule)
+    spec = pl.BlockSpec((BLOCK_ROWS, LANES), lambda i: (i, np.int32(0)))
     shape = jax.ShapeDtypeStruct((N // LANES, LANES), jnp.int32)
 
     def run(k, v):
