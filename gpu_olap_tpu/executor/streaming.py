@@ -459,7 +459,6 @@ class StreamingAggregator:
         t_start = _time.perf_counter()
         step = self._get_step(pipe, chunk_rows, part_cap, partials, None, 0)
         narrow = self._narrow_flags(pipe)
-        overflow_g = jnp.asarray(False)
         feeder = DeviceFeeder(num_buffers=self.config.num_feed_buffers)
 
         # compile before uploads are in flight (relay AOT crash, round-4)
@@ -551,10 +550,16 @@ class StreamingAggregator:
                 for buf in bufs:
                     self.arena.release(buf)
 
+        ovfs = []
         for dev_chunk in feeder.feed(host_iter()):
             p, bufs = staged.popleft()
             states[p], (_, g_o) = step(states[p], (), *dev_chunk)
-            overflow_g = overflow_g | g_o
+            # collect per-step flags and OR them in ONE program at the end:
+            # an eager `ovf | g_o` per chunk is a tiny scalar PROGRAM each,
+            # and the relay charges ~0.4-0.5 s of scheduling per program —
+            # 480 of them cost minutes (round-5 finding; same class as the
+            # per-lane np.asarray tax)
+            ovfs.append(g_o)
             n_chunks += 1
             pending.append((bufs, g_o))
             drain(self.config.num_feed_buffers)
@@ -571,7 +576,8 @@ class StreamingAggregator:
             for i in range(len(schema)))
         self.last_compile_seconds = round(t_compiled - t_start, 3)
         self.last_stream_seconds = round(_time.perf_counter() - t_compiled, 3)
-        return states, bool(np.asarray(overflow_g))
+        any_ovf = bool(np.asarray(jnp.any(jnp.stack(ovfs)))) if ovfs else False
+        return states, any_ovf
 
     def _stream_part(self, pipe, build, chunk_rows, max_groups,
                      join_capacity, partials, state, chunks):
@@ -583,8 +589,6 @@ class StreamingAggregator:
         build_args = () if build is None else (
             build["sk"], build["srow"], build["nbv"],
             tuple((c.data, c.validity) for c in build["batch"].cols))
-        overflow_j = jnp.asarray(False)
-        overflow_g = jnp.asarray(False)
         feeder = DeviceFeeder(num_buffers=self.config.num_feed_buffers)
 
         staged = collections.deque()  # arena buffers per in-flight chunk
@@ -626,10 +630,13 @@ class StreamingAggregator:
                 for buf in bufs:
                     self.arena.release(buf)
 
+        jovfs, govfs = [], []
         for dev_chunk in feeder.feed(host_iter()):
             state, (j_o, g_o) = step(state, build_args, *dev_chunk)
-            overflow_j = overflow_j | j_o
-            overflow_g = overflow_g | g_o
+            # flags collected and OR'd in ONE program after the stream (an
+            # eager scalar op per chunk costs a full relay program each)
+            jovfs.append(j_o)
+            govfs.append(g_o)
             n_chunks += 1
             pending.append((staged.popleft(), g_o))
             drain(self.config.num_feed_buffers)
@@ -640,8 +647,9 @@ class StreamingAggregator:
                     n_chunks, chunk_rows, self.arena.stats())
         if not n_chunks:
             return state, (False, False)
-        return state, (bool(np.asarray(overflow_j)),
-                       bool(np.asarray(overflow_g)))
+        flags = np.asarray(jnp.stack([jnp.any(jnp.stack(jovfs)),
+                                      jnp.any(jnp.stack(govfs))]))
+        return state, (bool(flags[0]), bool(flags[1]))
 
     # ------------------------------------------------------------------
     def _prepare_build(self, pipe: _StreamablePipeline, host_batch=None,
@@ -944,11 +952,17 @@ class StreamingAggregator:
 
 
 def _fetch_prefix_states(states):
-    """Pull all partitions' valid-prefix state lanes to the host in TWO
-    device round trips total (valid lanes, then every sliced lane): per-lane
-    np.asarray paid ~0.5 s of relay latency each — 80 round trips cost ~50 s
-    of the 100M rehearsal's finalize (round 5)."""
-    valids = jax.device_get([st[2] for st in states])
+    """Pull all partitions' state lanes to the host with chunked-async
+    pipelining, then slice to the valid prefixes in numpy.
+
+    FULL lanes are fetched on purpose: a device-side slice is one eager
+    relay PROGRAM each (~0.4-0.5 s of scheduling — the same per-program tax
+    as a lone np.asarray), so slicing 5 lanes x 16 partitions on device
+    costs far more than the extra bytes of pulling whole part_cap-sized
+    lanes through the ~41 MB/s chunked-async downlink (round 5)."""
+    from ..utils.hostio import fetch_arrays
+
+    valids = fetch_arrays([st[2] for st in states])
     ns = []
     fetch = []
     for st, v in zip(states, valids):
@@ -961,17 +975,15 @@ def _fetch_prefix_states(states):
             return states  # non-prefix mask: let _finalize do it lane-wise
         ns.append(n)
         for c, u in st[0]:
-            fetch.append(c[:n])
-            fetch.append(u[:n])
+            fetch.append(c)
+            fetch.append(u)
         for p in st[1]:
-            fetch.append(p[:n])
-    from ..utils.hostio import fetch_arrays
-
+            fetch.append(p)
     fetched = iter(fetch_arrays(fetch))
     out = []
     for st, v, n in zip(states, valids, ns):
-        keys = [(next(fetched), next(fetched)) for _ in st[0]]
-        parts_ = [next(fetched) for _ in st[1]]
+        keys = [(next(fetched)[:n], next(fetched)[:n]) for _ in st[0]]
+        parts_ = [next(fetched)[:n] for _ in st[1]]
         valid = np.asarray(v)[:n] if not st[0] else np.ones(n, dtype=bool)
         out.append((keys, parts_, valid))
     return out
