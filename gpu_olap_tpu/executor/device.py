@@ -1116,16 +1116,27 @@ class _Interpreter:
                 continue
             if a.func not in ("sum", "count", "avg", "min", "max"):
                 return None
-            if any(i >= n_left_cols for i in _expr_col_indices(a.arg)):
-                return None
-
-        left = self.exec(join.left, path + (0, 0))
-        right = self.exec(join.right, path + (0, 1))
 
         if not plan.group_exprs:
+            # the sorted-space global path handles BUILD-side and
+            # decomposable pair arguments too — try it before the
+            # probe-side-only restriction below
+            left = self.exec(join.left, path + (0, 0))
+            right = self.exec(join.right, path + (0, 1))
             fast = self._sorted_global_join_agg(plan, join, left, right)
             if fast is not None:
                 return fast
+        else:
+            left = right = None
+
+        for a in plan.aggs:
+            if a.arg is not None and \
+                    any(i >= n_left_cols for i in _expr_col_indices(a.arg)):
+                return None
+
+        if left is None:
+            left = self.exec(join.left, path + (0, 0))
+            right = self.exec(join.right, path + (0, 1))
 
         cnt = self._join_match_counts(join, left, right)
         participates = cnt > 0
@@ -1177,25 +1188,114 @@ class _Interpreter:
         merge-sorted key space (round 5): reductions are order-free, so the
         probe-order restore sort of ``probe_ranges_merge`` (1 key + 2
         payload lanes, ~1.05 s of the 1.55 s flagship join at 200M rows) is
-        skipped.  Eligible when the single join key is a plain integer
-        column and every aggregate argument references ONLY that key column
-        (the equi-key substitution in _try_join_aggregate maps right-key
-        references here first) — the argument is then recomputed from the
-        sorted key lane itself."""
+        skipped.  Two argument families qualify:
+
+        * KEY-DERIVED expressions (incl. right-key refs via the equi-key
+          substitution) — recomputed from the sorted key lane itself;
+        * DECOMPOSABLE pair expressions — top-level sums of side-pure terms
+          (e.g. ``SUM(l.v + r.w)``): SUM over matched pairs of
+          f(probe) + g(build) = sum_i bcnt_i*f_i + sum_j pcnt_j*g_j, so each
+          side-pure term rides the merge sort as ONE payload lane and is
+          reduced weighted by the per-element match multiplicities.
+          MIN/MAX need a single side-pure (or key) argument.
+        """
         if len(join.left_keys) != 1:
             return None
         lk_expr = join.left_keys[0]
         if not isinstance(lk_expr, P.ColumnRef) or \
                 _np_kind(lk_expr.dtype) != "i":
             return None
-        for a in plan.aggs:
-            if a.arg is not None and \
-                    set(_expr_col_indices(a.arg)) - {lk_expr.index}:
-                return None
-        # the unique-build lookup path is cheaper when available
-        if join.strategy != "sort_merge" and \
-                self._lookup_range(join, right) is not None:
+        # the unique-build lookup path is cheaper only for pure-count
+        # shapes; payload-lane reductions beat the materializing path even
+        # there, so only defer to it when every aggregate is key-derived
+        n_left_cols = len(join.left.schema)
+
+        def side_of(e):
+            idxs = set(_expr_col_indices(e))
+            if idxs <= {lk_expr.index}:
+                return "key"
+            if all(i < n_left_cols for i in idxs):
+                return "probe"
+            if all(i >= n_left_cols for i in idxs):
+                return "build"
             return None
+
+        def split_terms(e):
+            sd = side_of(e)
+            if sd is not None:
+                return [(sd, e)]
+            if isinstance(e, P.PhysBinary) and e.op == "+":
+                lt = split_terms(e.left)
+                rt = split_terms(e.right)
+                if lt is None or rt is None:
+                    return None
+                return lt + rt
+            return None
+
+        payload_terms: List[tuple] = []   # (side, expr)
+
+        def payload_slot(side, expr):
+            for i, (s2, e2) in enumerate(payload_terms):
+                if s2 == side and repr(e2) == repr(expr):
+                    return i
+            payload_terms.append((side, expr))
+            return len(payload_terms) - 1
+
+        agg_specs = []
+        for a in plan.aggs:
+            if a.arg is None:
+                agg_specs.append(("total",))
+                continue
+            if a.func == "count":
+                sd = side_of(a.arg)
+                if sd is None:
+                    return None
+                if sd in ("probe", "build"):
+                    # COUNT(col) == COUNT(*) only for null-free arguments
+                    e = a.arg if sd == "probe" else None
+                    batch_ = left if sd == "probe" else right
+                    expr_ = a.arg
+                    if sd == "build":
+                        mapping = {}
+                        for i in set(_expr_col_indices(a.arg)):
+                            f = join.right.schema.field(i - n_left_cols)
+                            mapping[i] = P.ColumnRef(f.dtype, i - n_left_cols,
+                                                     f.name)
+                        expr_ = _subst_cols(a.arg, mapping)
+                    _d, valid_, _dd = self.eval_expr(expr_, batch_)
+                    if valid_ is not None:
+                        return None
+                agg_specs.append(("count", sd, a.arg))
+            elif a.func in ("sum", "avg"):
+                terms = split_terms(a.arg)
+                if terms is None:
+                    return None
+                entries = []
+                for sd, e in terms:
+                    entries.append((sd, e if sd == "key"
+                                    else payload_slot(sd, e)))
+                agg_specs.append((a.func, entries))
+            elif a.func in ("min", "max"):
+                sd = side_of(a.arg)
+                if sd is None:
+                    return None
+                agg_specs.append(("minmax", a.func, sd,
+                                  a.arg if sd == "key"
+                                  else payload_slot(sd, a.arg)))
+            else:
+                return None
+        if len(payload_terms) > 3:
+            return None  # each payload lane rides every merge pass
+        if not payload_terms and join.strategy != "sort_merge" and \
+                self._lookup_range(join, right) is not None:
+            return None  # pure key shapes: dense/lookup counting is cheaper
+
+        def shift_right(e):
+            mapping = {}
+            for i in set(_expr_col_indices(e)):
+                f = join.right.schema.field(i - n_left_cols)
+                mapping[i] = P.ColumnRef(f.dtype, i - n_left_cols, f.name)
+            return _subst_cols(e, mapping)
 
         lkeys = [self._key_of(k, left) for k in join.left_keys]
         rkeys = [self._key_of(k, right) for k in join.right_keys]
@@ -1204,54 +1304,110 @@ class _Interpreter:
                                                     lkeys, rkeys)
         lcode, linv, rcode, rinv = join_ops._prepare_codes(
             lkeys_t, left.row_valid, rkeys_t, right.row_valid, True)
-        probe_ok, key_sorted, cnt_elem = join_ops.probe_counts_sorted(
-            rcode, rinv, lcode, linv, fold_range=fold_range)
+        nb = rcode.shape[0]
+        npr = lcode.shape[0]
 
-        # evaluate key-derived arguments on the sorted key lane, widened to
-        # the column's logical dtype (expression arithmetic must not wrap)
+        i32max = (1 << 31) - 8
+        lanes = []
+        lane_f64 = []
+        for sd, expr in payload_terms:
+            if sd == "probe":
+                data, valid, _ = self.eval_expr(expr, left)
+                batch = left
+            else:
+                data, valid, _ = self.eval_expr(shift_right(expr), right)
+                batch = right
+            if valid is not None:
+                return None  # nullable term: fall back to general paths
+            rng = self._expr_range(expr if sd == "probe"
+                                   else shift_right(expr), batch)
+            if data.dtype == jnp.float64:
+                dt = jnp.float64
+            elif rng is not None and -i32max < int(rng[0]) \
+                    and int(rng[1]) < i32max:
+                dt = jnp.int32
+            else:
+                dt = jnp.int64
+            lane_f64.append(dt == jnp.float64)
+            z = jnp.zeros((), dt)
+            if sd == "probe":
+                lanes.append(jnp.concatenate(
+                    [jnp.full(nb, z), data.astype(dt)]))
+            else:
+                lanes.append(jnp.concatenate(
+                    [data.astype(dt), jnp.full(npr, z)]))
+
+        probe_ok, key_sorted, cnt_elem, build_ok, pcnt_elem, pay_s = \
+            join_ops.probe_counts_sorted(rcode, rinv, lcode, linv,
+                                         fold_range=fold_range,
+                                         payloads=tuple(lanes))
+
+        # key-derived args evaluate on the sorted key lane, widened to the
+        # column's logical dtype (expression arithmetic must not wrap)
         key_lane = key_sorted.astype(jnp.int64)
         fake_cols = [DevCol(key_lane, None, None) for _ in left.cols]
         fake = DevBatch(join.left.schema, fake_cols, key_lane.shape[0], None)
 
         cnt64 = cnt_elem.astype(jnp.int64)
+        pcnt64 = pcnt_elem.astype(jnp.int64)
         total = jnp.sum(cnt64)
         has = (total > 0).reshape(1)
-        matched = probe_ok & (cnt_elem > 0)
+        probe_matched = probe_ok & (cnt_elem > 0)
+        build_matched = build_ok & (pcnt_elem > 0)
+
+        def term_sum(sd, ref, acc):
+            if sd == "key":
+                data, _v, _ = self.eval_expr(ref, fake)
+                return jnp.sum(jnp.where(
+                    probe_ok, data.astype(acc) * cnt64.astype(acc),
+                    jnp.asarray(0, acc)))
+            lane = pay_s[ref]
+            mult = cnt64 if sd == "probe" else pcnt64
+            ok = probe_ok if sd == "probe" else build_ok
+            return jnp.sum(jnp.where(ok, lane.astype(acc) * mult.astype(acc),
+                                     jnp.asarray(0, acc)))
+
+        def term_lane(sd, ref):
+            if sd == "key":
+                data, _v, _ = self.eval_expr(ref, fake)
+                return data, probe_matched
+            return pay_s[ref], (probe_matched if sd == "probe"
+                                else build_matched)
+
         cols = []
-        for a in plan.aggs:
+        for spec, a in zip(agg_specs, plan.aggs):
             acc = a.out_dtype.numpy_dtype
-            if a.arg is None or a.func == "count":
+            if spec[0] in ("total", "count"):
+                # null-free arguments: COUNT(col) == COUNT(*)
                 cols.append(DevCol(total.reshape(1), None))
-                continue
-            data, _valid, _ = self.eval_expr(a.arg, fake)
-            if a.func == "sum":
-                s = jnp.sum(jnp.where(probe_ok,
-                                      data.astype(acc) * cnt64.astype(acc),
-                                      jnp.asarray(0, acc)))
+            elif spec[0] == "sum":
+                s = None
+                for sd, ref in spec[1]:
+                    t = term_sum(sd, ref, acc)
+                    s = t if s is None else s + t
                 cols.append(DevCol(s.reshape(1), has))
-            elif a.func == "avg":
-                s = jnp.sum(jnp.where(
-                    probe_ok,
-                    data.astype(jnp.float64) * cnt64.astype(jnp.float64),
-                    0.0))
+            elif spec[0] == "avg":
+                s = None
+                for sd, ref in spec[1]:
+                    t = term_sum(sd, ref, np.float64)
+                    s = t if s is None else s + t
                 avg = s / jnp.maximum(total, 1).astype(jnp.float64)
                 cols.append(DevCol(jnp.where(total > 0, avg, 0.0).reshape(1),
                                    has))
-            elif a.func in ("min", "max"):
+            else:  # minmax
+                _tag, func, sd, ref = spec
+                data, ok = term_lane(sd, ref)
                 if np.dtype(acc).kind == "f":
-                    ident = np.inf if a.func == "min" else -np.inf
+                    ident = np.inf if func == "min" else -np.inf
                 else:
-                    ident = (np.iinfo(np.int64).max if a.func == "min"
+                    ident = (np.iinfo(np.int64).max if func == "min"
                              else np.iinfo(np.int64).min)
-                masked = jnp.where(matched, data.astype(acc),
+                masked = jnp.where(ok, data.astype(acc),
                                    jnp.asarray(ident, acc))
-                red = (jnp.min(masked) if a.func == "min"
-                       else jnp.max(masked))
+                red = jnp.min(masked) if func == "min" else jnp.max(masked)
                 cols.append(DevCol(
                     jnp.where(total > 0, red,
                               jnp.asarray(0, acc)).reshape(1), has))
-            else:
-                return None
         GLOBAL_METRICS.bump("sorted_global_join_agg")
         return DevBatch(plan.schema, cols, 1, None)
 

@@ -201,19 +201,28 @@ def probe_ranges_merge(build_code, build_invalid, probe_code, probe_invalid,
 
 
 def probe_counts_sorted(build_code, build_invalid, probe_code, probe_invalid,
-                        fold_range=None):
-    """Per-probe match counts left IN SORTED ORDER — for global aggregates
-    that reduce over probe rows, the probe-order restore sort of
-    ``probe_ranges_merge`` (1 key + 2 payload lanes, ~1.05 s at 200M rows on
-    v5e) is pure waste: a reduction is order-free.  Round-5 measurement
-    (scripts/probe_join_tax.py): tagged co-sort 753 ms, engine join exec
-    1548 ms — this path removes most of the difference.
+                        fold_range=None, payloads=()):
+    """Per-row match multiplicities left IN SORTED ORDER — for global
+    aggregates that reduce over matched pairs, the probe-order restore sort
+    of ``probe_ranges_merge`` (1 key + 2 payload lanes, ~1.05 s at 200M
+    rows on v5e) is pure waste: a reduction is order-free.  Round-5
+    measurement (scripts/probe_join_tax.py): tagged co-sort 753 ms, engine
+    join exec 1548 ms — this path removes most of the difference.
 
-    Returns (probe_ok, key_sorted, cnt_elem):
+    ``payloads``: optional (nb+npr,)-length lanes in [build..., probe...]
+    concat order that ride the sort — decomposable pair aggregates
+    (SUM over matches of f(probe) + g(build)) reduce them weighted by the
+    per-element multiplicities.
+
+    Returns (probe_ok, key_sorted, cnt_elem, build_ok, pcnt_elem,
+    payloads_sorted):
       * ``probe_ok``  — element is a VALID probe row;
       * ``key_sorted`` — the probe key value (original code space) at that
         element (garbage where not probe_ok);
-      * ``cnt_elem``  — int32 count of matching valid build rows.
+      * ``cnt_elem``  — int32 count of matching valid BUILD rows (at probe
+        elements);
+      * ``build_ok`` / ``pcnt_elem`` — the symmetric per-BUILD-row count of
+        matching valid probe rows.
     """
     nb = build_code.shape[0]
     npr = probe_code.shape[0]
@@ -232,7 +241,9 @@ def probe_counts_sorted(build_code, build_invalid, probe_code, probe_invalid,
             jnp.zeros(nb, dtype=jnp.int32), jnp.ones(npr, dtype=jnp.int32)])
         sent = np.int32(np.iinfo(np.int32).max)
         key = jnp.where(inv, sent, key)
-        (key_s,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+        sorted_ = jax.lax.sort((key,) + tuple(payloads), num_keys=1,
+                               is_stable=False)
+        key_s, pay_s = sorted_[0], list(sorted_[1:])
         run_key = key_s >> 1
         is_build = (key_s & 1) == 0
         probe_ok = ((key_s & 1) == 1) & (key_s != sent)
@@ -242,7 +253,9 @@ def probe_counts_sorted(build_code, build_invalid, probe_code, probe_invalid,
         key = key + jnp.concatenate([
             jnp.zeros(nb, dtype=jnp.int64), jnp.ones(npr, dtype=jnp.int64)])
         key = jnp.where(inv, INT64_MAX, key)
-        (key_s,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+        sorted_ = jax.lax.sort((key,) + tuple(payloads), num_keys=1,
+                               is_stable=False)
+        key_s, pay_s = sorted_[0], list(sorted_[1:])
         run_key = key_s >> 1
         is_build = (key_s & 1) == 0
         probe_ok = ((key_s & 1) == 1) & (key_s != INT64_MAX)
@@ -252,7 +265,9 @@ def probe_counts_sorted(build_code, build_invalid, probe_code, probe_invalid,
         tag = jnp.concatenate([
             jnp.zeros(nb, dtype=jnp.int32), jnp.ones(npr, dtype=jnp.int32)])
         tag = jnp.where(inv, jnp.int32(2), tag)
-        key_s, tag_s = jax.lax.sort((key, tag), num_keys=2, is_stable=False)
+        sorted_ = jax.lax.sort((key, tag) + tuple(payloads), num_keys=2,
+                               is_stable=False)
+        key_s, tag_s, pay_s = sorted_[0], sorted_[1], list(sorted_[2:])
         run_key = key_s
         is_build = tag_s == 0
         probe_ok = tag_s == 1
@@ -263,7 +278,23 @@ def probe_counts_sorted(build_code, build_invalid, probe_code, probe_invalid,
     run_base = jax.lax.cummax(
         jnp.where(newflag, cb - is_build.astype(jnp.int32), jnp.int32(-1)))
     cnt_elem = jnp.where(probe_ok, cb - run_base, jnp.int32(0))
-    return probe_ok, key_sorted, cnt_elem
+
+    # symmetric per-BUILD-row probe counts (decomposable join aggregates:
+    # SUM over matched pairs of g(build) = sum over build rows of
+    # probes_in_run * g) — probes-before-run-start carried forward, and the
+    # run's LAST cumulative probe count filled backward (reversed cummax of
+    # a nondecreasing seed)
+    build_ok = is_build  # invalid rows sort to the tail sentinel run
+    cp = jnp.cumsum(probe_ok.astype(jnp.int32))
+    run_base_p = jax.lax.cummax(
+        jnp.where(newflag, cp - probe_ok.astype(jnp.int32), jnp.int32(-1)))
+    last_mask = jnp.concatenate([newflag[1:], jnp.ones(1, dtype=bool)])
+    # nearest-NEXT seed fill: run-end cp values increase across runs, so the
+    # first seed at or after each position is the MINIMUM of the suffix
+    seed = jnp.where(last_mask, cp, jnp.int32(np.iinfo(np.int32).max))
+    run_end_cp = jnp.flip(jax.lax.cummin(jnp.flip(seed)))
+    pcnt_elem = jnp.where(build_ok, run_end_cp - run_base_p, jnp.int32(0))
+    return probe_ok, key_sorted, cnt_elem, build_ok, pcnt_elem, pay_s
 
 
 def expand_matches(cnt, lo, sorted_rows, capacity: int):

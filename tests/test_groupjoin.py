@@ -94,10 +94,34 @@ def test_sorted_space_global_join_agg(engines):
                 np.asarray(c[k], dtype=np.float64), rtol=1e-12, err_msg=sql)
 
 
-def test_groupjoin_ineligible_falls_back(engines):
-    """Mixed-side aggregate arguments need the real pair expansion."""
+def test_decomposable_pair_aggregates(engines):
+    """Round 5: SUM/AVG over top-level sums of side-pure terms reduce in
+    sorted space (sum over pairs of f(probe)+g(build) = weighted side sums);
+    MIN/MAX take single-side arguments.  Exact parity, path engaged."""
+    from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
+
     dev, cpu = engines
-    sql = "SELECT SUM(l.v + r.w) AS s FROM l JOIN r ON l.k = r.k"
+    for sql in (
+        "SELECT COUNT(*) AS n, SUM(l.v + r.w) AS s FROM l JOIN r ON l.k = r.k",
+        "SELECT SUM(r.w) AS sw, AVG(l.v + r.w) AS a, MIN(r.w) AS mn, "
+        "MAX(l.v) AS mx, COUNT(r.w) AS c FROM l JOIN r ON l.k = r.k",
+        "SELECT SUM(l.v * 2 + r.w) AS s FROM l JOIN r ON l.k = r.k",
+    ):
+        before = GLOBAL_METRICS.counters.get("sorted_global_join_agg", 0)
+        d = dev.query(sql).to_pydict()
+        assert GLOBAL_METRICS.counters.get(
+            "sorted_global_join_agg", 0) > before, f"path not taken: {sql}"
+        c = cpu.query(sql).to_pydict()
+        for k in d:
+            np.testing.assert_allclose(
+                np.asarray(d[k], dtype=np.float64),
+                np.asarray(c[k], dtype=np.float64), rtol=1e-12, err_msg=sql)
+
+
+def test_groupjoin_ineligible_falls_back(engines):
+    """Non-decomposable mixed-side arguments need the real pair expansion."""
+    dev, cpu = engines
+    sql = "SELECT SUM(l.v * r.w) AS s FROM l JOIN r ON l.k = r.k"
     d = dev.query(sql).to_pydict()
     c = cpu.query(sql).to_pydict()
     np.testing.assert_allclose(np.asarray(d["s"], dtype=np.float64),
