@@ -8,7 +8,7 @@ import pytest
 
 from conftest import make_engine
 
-N_QUERIES = 40
+N_QUERIES = 60
 
 
 def _gen_tables(rng):
@@ -30,24 +30,35 @@ def _gen_tables(rng):
     return t1, t2
 
 
-_AGGS = ["COUNT(*)", "SUM(a)", "AVG(c)", "MIN(a)", "MAX(c)", "COUNT(c)",
-         "COUNT(DISTINCT b)", "SUM(a + b)", "MAX(s)"]
-_PREDS = ["a > 0", "b IN (1, 2, 3)", "c IS NOT NULL", "s = 'x'",
-          "a BETWEEN -10 AND 25", "c > 50 OR b < 2", "NOT s = 'y'",
-          "a % 3 = 0"]
+_AGGS = ["COUNT(*)", "SUM(t.a)", "AVG(t.c)", "MIN(t.a)", "MAX(t.c)",
+         "COUNT(t.c)", "COUNT(DISTINCT t.b)", "SUM(t.a + t.b)", "MAX(t.s)",
+         "SUM(DISTINCT t.a)", "AVG(DISTINCT t.b)"]
+# build-side and decomposable mixed-side arguments (round-5 sorted-space
+# join aggregation paths)
+_AGGS_JOIN = ["SUM(t2.w)", "MIN(t2.w)", "SUM(t.a + t2.w)",
+              "AVG(t.b + t2.w)", "MAX(t2.w)", "SUM(t.a * t2.w)"]
+_PREDS = ["t.a > 0", "t.b IN (1, 2, 3)", "t.c IS NOT NULL", "t.s = 'x'",
+          "t.a BETWEEN -10 AND 25", "t.c > 50 OR t.b < 2", "NOT t.s = 'y'",
+          "t.a % 3 = 0"]
 
 
 def _gen_query(rng):
     parts = ["SELECT"]
     use_join = rng.random() < 0.35
     group = rng.random() < 0.6
+    glob = not group and rng.random() < 0.4  # global aggregate shape
     sel = []
+    pool = list(_AGGS) + (list(_AGGS_JOIN) if use_join else [])
     if group:
         keys = list(rng.choice(["b", "s"], size=rng.integers(1, 3), replace=False))
         sel += [f"t.{k}" for k in keys]
         n_aggs = rng.integers(1, 4)
-        aggs = list(rng.choice(_AGGS, size=n_aggs, replace=False))
+        aggs = list(rng.choice(pool, size=n_aggs, replace=False))
         sel += [f"{a} AS agg{i}" for i, a in enumerate(aggs)]
+    elif glob:
+        n_aggs = rng.integers(1, 5)
+        aggs = list(rng.choice(pool, size=n_aggs, replace=False))
+        sel = [f"{a} AS agg{i}" for i, a in enumerate(aggs)]
     else:
         sel = ["t.a", "t.b", "t.c"]
     parts.append(", ".join(sel))
