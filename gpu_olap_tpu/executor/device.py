@@ -1138,6 +1138,12 @@ class _Interpreter:
             left = self.exec(join.left, path + (0, 0))
             right = self.exec(join.right, path + (0, 1))
 
+        if plan.group_exprs:
+            fast = self._sorted_grouped_join_agg(plan, join, left, right,
+                                                 path)
+            if fast is not None:
+                return fast
+
         cnt = self._join_match_counts(join, left, right)
         participates = cnt > 0
 
@@ -1410,6 +1416,170 @@ class _Interpreter:
                               jnp.asarray(0, acc)).reshape(1), has))
         GLOBAL_METRICS.bump("sorted_global_join_agg")
         return DevBatch(plan.schema, cols, 1, None)
+
+    def _sorted_grouped_join_agg(self, plan: P.TpuAggregate,
+                                 join: P.TpuHashJoin, left: DevBatch,
+                                 right: DevBatch, path) -> Optional[DevBatch]:
+        """GROUPED join aggregation in merge-sorted key space (round 5):
+        group-key codes and aggregate arguments ride the tagged co-sort as
+        payload lanes, per-probe match counts come out in sorted order, and
+        the group-by runs directly over the merged-length lanes — the
+        probe-order restore sort disappears (its cost: 1 key + 2 payload
+        lanes over nb+npr rows).  Conservative eligibility: single int
+        column join key, null-free non-string probe-side group keys and
+        aggregate arguments, <= 4 payload lanes; anything else keeps the
+        restore-sort + probe-order path."""
+        if len(join.left_keys) != 1:
+            return None
+        lk_expr = join.left_keys[0]
+        if not isinstance(lk_expr, P.ColumnRef) or \
+                _np_kind(lk_expr.dtype) != "i":
+            return None
+        n_left_cols = len(join.left.schema)
+        for g in plan.group_exprs:
+            if any(i >= n_left_cols for i in _expr_col_indices(g)):
+                return None
+            if g.dtype is DType.STRING or _np_kind(g.dtype) == "f":
+                return None
+        for a in plan.aggs:
+            if a.arg is None:
+                continue
+            if any(i >= n_left_cols for i in _expr_col_indices(a.arg)):
+                return None
+            if a.out_dtype is DType.STRING:
+                return None
+        if join.strategy != "sort_merge" and \
+                self._lookup_range(join, right) is not None:
+            return None  # unique build: lookup counting is cheaper
+
+        # evaluate group keys + distinct aggregate arguments on the probe
+        # batch; any nullable lane falls back (validity would need lanes)
+        gk_lanes = []
+        for g in plan.group_exprs:
+            d, v, _dct = self.eval_expr(g, left)
+            if v is not None:
+                return None
+            code, _null = key_code(d, v, _np_kind(g.dtype))
+            if self._int32_ok(g, left) and code.dtype == jnp.int64:
+                code = self._narrow32(g, left, d)
+            gk_lanes.append(code)
+        arg_ix: Dict = {}
+        arg_lanes = []
+        i32max = (1 << 31) - 8
+        for a in plan.aggs:
+            if a.arg is None or repr(a.arg) in arg_ix:
+                continue
+            d, v, _dct = self.eval_expr(a.arg, left)
+            if v is not None:
+                return None
+            rng = self._expr_range(a.arg, left)
+            if d.dtype == jnp.float64:
+                dt = jnp.float64
+            elif rng is not None and -i32max < int(rng[0]) \
+                    and int(rng[1]) < i32max:
+                dt = jnp.int32
+            else:
+                dt = jnp.int64
+            arg_ix[repr(a.arg)] = len(arg_lanes)
+            arg_lanes.append(d.astype(dt))
+        if len(gk_lanes) + len(arg_lanes) > 4:
+            return None
+
+        lkeys = [self._key_of(k, left) for k in join.left_keys]
+        rkeys = [self._key_of(k, right) for k in join.right_keys]
+        fold_range = self._fold_range(join, lkeys, rkeys)
+        lkeys_t, rkeys_t = self._unified_key_tuples(join, left, right,
+                                                    lkeys, rkeys)
+        lcode, linv, rcode, rinv = join_ops._prepare_codes(
+            lkeys_t, left.row_valid, rkeys_t, right.row_valid, True)
+        nb = rcode.shape[0]
+
+        def pad_build(lane):
+            return jnp.concatenate(
+                [jnp.zeros(nb, dtype=lane.dtype), lane])
+
+        payloads = tuple(pad_build(x) for x in gk_lanes + arg_lanes)
+        probe_ok, _key_sorted, cnt_elem, _b_ok, _pcnt, pay_s = \
+            join_ops.probe_counts_sorted(rcode, rinv, lcode, linv,
+                                         fold_range=fold_range,
+                                         payloads=payloads)
+        gk_s = pay_s[:len(gk_lanes)]
+        arg_s = pay_s[len(gk_lanes):]
+        n = cnt_elem.shape[0]
+        cnt64 = cnt_elem.astype(jnp.int64)
+        participates = probe_ok & (cnt_elem > 0)
+
+        cap_key = ("agg", path)
+        max_groups = self.cap_override.get(
+            cap_key, min(self.config.max_groups, left.capacity))
+        self.meta["capacities"][cap_key] = max_groups
+
+        keys = [(code, jnp.zeros(n, dtype=bool)) for code in gk_s]
+        key_meta = [(g.dtype, None) for g in plan.group_exprs]
+
+        specs: List[dict] = []
+        post = []
+        for a in plan.aggs:
+            acc = a.out_dtype.numpy_dtype
+            if a.arg is None:  # COUNT(*) = sum of multiplicities
+                specs.append({"func": "sum", "values": cnt64, "valid": None,
+                              "distinct": False, "acc_dtype": np.int64,
+                              "np_kind": "i", "arg_id": ("sj_star",)})
+                post.append(("count", len(specs) - 1, None))
+                continue
+            lane = arg_s[arg_ix[repr(a.arg)]]
+            if a.func == "count":  # null-free argument: count multiplicities
+                specs.append({"func": "sum", "values": cnt64, "valid": None,
+                              "distinct": False, "acc_dtype": np.int64,
+                              "np_kind": "i", "arg_id": ("sj_star",)})
+                post.append(("count", len(specs) - 1, None))
+            elif a.func == "sum":
+                wv = lane.astype(acc) * cnt64.astype(acc)
+                specs.append({"func": "sum", "values": wv, "valid": None,
+                              "distinct": False, "acc_dtype": acc,
+                              "np_kind": _np_kind(a.arg.dtype),
+                              "arg_id": ("sj_sum", a.arg)})
+                post.append(("plain", len(specs) - 1, None))
+            elif a.func == "avg":
+                num = lane.astype(np.float64) * cnt64.astype(np.float64)
+                specs.append({"func": "sum", "values": num, "valid": None,
+                              "distinct": False, "acc_dtype": np.float64,
+                              "np_kind": "f", "arg_id": ("sj_avg", a.arg)})
+                specs.append({"func": "sum", "values": cnt64, "valid": None,
+                              "distinct": False, "acc_dtype": np.int64,
+                              "np_kind": "i", "arg_id": ("sj_star",)})
+                post.append(("avg", len(specs) - 2, len(specs) - 1))
+            elif a.func in ("min", "max"):
+                specs.append({"func": a.func, "values": lane.astype(acc),
+                              "valid": None, "distinct": False,
+                              "acc_dtype": acc,
+                              "np_kind": _np_kind(a.arg.dtype),
+                              "arg_id": ("sj_mm", a.arg)})
+                post.append(("plain", len(specs) - 1, None))
+            else:
+                return None
+
+        group_codes, results, n_groups, overflow = agg_ops.groupby_aggregate(
+            keys, participates, specs, max_groups, n_rows=n,
+            allow_pallas=self._seg_agg_on())
+        self._push_flag(cap_key, overflow)
+
+        cols = self._group_key_cols(group_codes, key_meta, None)
+        for kind, i, j in post:
+            if kind == "count":
+                cols.append(DevCol(results[i][0], None))
+            elif kind == "avg":
+                num, den = results[i][0], results[j][0]
+                den_f = den.astype(jnp.float64)
+                avg = jnp.where(den > 0, num / jnp.maximum(den_f, 1.0), 0.0)
+                cols.append(DevCol(avg, den > 0))
+            else:
+                data, valid = results[i]
+                cols.append(DevCol(data, valid))
+        rv = jnp.arange(max_groups) < n_groups
+        GLOBAL_METRICS.bump("sorted_grouped_join_agg")
+        return DevBatch(plan.schema, cols, max_groups, rv,
+                        prefix_count=n_groups)
 
     def _grouped_join_aggregate(self, plan: P.TpuAggregate, path,
                                 left: DevBatch, cnt, participates) -> DevBatch:
