@@ -496,6 +496,22 @@ class DistributedExecutor:
         if not grouped and any(a.func == "avg" for a in agg.aggs):
             raise NotDistributable("global AVG(DISTINCT) merge")
         shuffle_cap = max(-(-per_dev * 2 // ndev), 128)
+        part_expr = agg.group_exprs[0] if grouped else dist_arg
+        if isinstance(part_expr, P.ColumnRef) and \
+                _np_kind(part_expr.dtype) == "i":
+            # size the first pass from the real destination histogram of
+            # the partition column (host replica of partition_of) instead
+            # of the uniform 2x guess — low-cardinality keys hash unevenly
+            # across destinations and blind sizing forced a retry
+            from .skew import recommend_capacity
+
+            host = self.catalog.get_table_data(sp.scan.table_name).to_numpy()
+            ci = (part_expr.index if sp.scan.projection is None
+                  else sp.scan.projection[part_expr.index])
+            hist = np_partition_hist(
+                np.asarray(host.columns[ci].data), ndev)
+            shuffle_cap = max(shuffle_cap,
+                              recommend_capacity(hist, ndev, headroom=1.5))
         max_groups = min(self.config.max_groups, 1 << 20)
         for attempt in range(4):
             gkeys, gresults, gvalid, overflow = make_program(
@@ -938,6 +954,22 @@ def _combine_shuffle_merge(interp, agg, key_pairs, batch, row_valid, ndev,
     return (tuple((c, n if n is not None else jnp.zeros(max_groups, bool))
                   for c, n in mg_codes),
             tuple(results), gvalid, overflow)
+
+
+def np_partition_hist(col: np.ndarray, ndev: int) -> np.ndarray:
+    """Host-side replica of ``ops.hashing.partition_of`` destination counts
+    (MurmurHash3 finalizer over folded int64) — sizes shuffle buckets from
+    the REAL distribution instead of a uniform guess, so the first
+    distributed-DISTINCT pass usually succeeds without an overflow retry."""
+    x = col.astype(np.int64, copy=False)
+    u = x.astype(np.uint32) ^ (x >> np.int64(32)).astype(np.uint32)
+    u = u ^ (u >> np.uint32(16))
+    u = u * np.uint32(0x85EBCA6B)
+    u = u ^ (u >> np.uint32(13))
+    u = u * np.uint32(0xC2B2AE35)
+    u = u ^ (u >> np.uint32(16))
+    dest = (u % np.uint32(ndev)).astype(np.int64)
+    return np.bincount(dest, minlength=ndev)
 
 
 def _ident_for(dtype, is_min: bool):
