@@ -66,6 +66,11 @@ class EngineConfig:
     # disables the lookup/direct fast paths; "broadcast_hash"/"radix_hash"
     # keep them (reference JoinStrategy surface, join_kernel.rs:3-18).
     join_strategy: Optional[str] = None
+    # Sorted-space join aggregation (round 5): global/grouped aggregates
+    # over inner joins reduce in merge-sorted key space without the
+    # probe-order restore sort.  None/True = on; False = keep the
+    # materialize/probe-order paths (A/B + escape hatch).
+    use_sorted_join_agg: Optional[bool] = None
 
     # --- distribution ---
     mesh_shape: Optional[Tuple[int, ...]] = None   # None = single device

@@ -1117,7 +1117,8 @@ class _Interpreter:
             if a.func not in ("sum", "count", "avg", "min", "max"):
                 return None
 
-        if not plan.group_exprs:
+        sorted_on = self.config.use_sorted_join_agg is not False
+        if not plan.group_exprs and sorted_on:
             # the sorted-space global path handles BUILD-side and
             # decomposable pair arguments too — try it before the
             # probe-side-only restriction below
@@ -1138,7 +1139,7 @@ class _Interpreter:
             left = self.exec(join.left, path + (0, 0))
             right = self.exec(join.right, path + (0, 1))
 
-        if plan.group_exprs:
+        if plan.group_exprs and sorted_on:
             fast = self._sorted_grouped_join_agg(plan, join, left, right,
                                                  path)
             if fast is not None:
