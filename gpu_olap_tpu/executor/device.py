@@ -1139,7 +1139,12 @@ class _Interpreter:
             left = self.exec(join.left, path + (0, 0))
             right = self.exec(join.right, path + (0, 1))
 
-        if plan.group_exprs and sorted_on:
+        if plan.group_exprs and self.config.use_sorted_join_agg is True:
+            # OPT-IN only: measured SLOWER than the probe-order path on v5e
+            # (1.08 s vs 0.68 s at 20M x 10M / 1000 groups — the payload
+            # lanes and the merged-length group-by outweigh the removed
+            # restore sort when the group-by dominates); kept for shapes
+            # where the restore sort dominates instead
             fast = self._sorted_grouped_join_agg(plan, join, left, right,
                                                  path)
             if fast is not None:

@@ -118,6 +118,33 @@ def test_decomposable_pair_aggregates(engines):
                 np.asarray(c[k], dtype=np.float64), rtol=1e-12, err_msg=sql)
 
 
+def test_sorted_grouped_join_agg_opt_in(engines):
+    """The grouped sorted-space variant is OPT-IN (measured slower than the
+    probe-order path on v5e at bench-class shapes) — correctness still holds
+    when enabled."""
+    from gpu_olap_tpu.utils.metrics import GLOBAL_METRICS
+
+    _, cpu = engines
+    dev = OlapEngine(EngineConfig(backend="device", min_shape_bucket=64,
+                                  join_expansion=1.0,
+                                  use_sorted_join_agg=True))
+    dev.catalog = cpu.catalog
+    # plain-column group key: computed keys whose eval carries a validity
+    # lane (e.g. % with its div-by-zero guard) fall back by design
+    sql = ("SELECT l.v AS g, COUNT(*) AS n, SUM(l.v) AS s, "
+           "AVG(l.v) AS a, MIN(l.v) AS mn FROM l JOIN r ON l.k = r.k "
+           "GROUP BY l.v ORDER BY g")
+    before = GLOBAL_METRICS.counters.get("sorted_grouped_join_agg", 0)
+    d = dev.query(sql).to_pydict()
+    assert GLOBAL_METRICS.counters.get(
+        "sorted_grouped_join_agg", 0) > before, "opt-in path not taken"
+    c = cpu.query(sql).to_pydict()
+    for k in d:
+        np.testing.assert_allclose(
+            np.asarray(d[k], dtype=np.float64),
+            np.asarray(c[k], dtype=np.float64), rtol=1e-12)
+
+
 def test_groupjoin_ineligible_falls_back(engines):
     """Non-decomposable mixed-side arguments need the real pair expansion."""
     dev, cpu = engines
